@@ -1,0 +1,341 @@
+"""Engine-side ANSI / VT escape-sequence model.
+
+The reference (``/root/reference/vtparser.py:246-476``) interprets input
+byte-at-a-time through a table-driven VT500 state machine. For well-formed
+streams that FSM is equivalent to a single ordered regex alternation over
+the decoded text; this module is that alternation plus the derived
+classification/editing semantics. Everything here is plain compiled-regex
+Python designed to run *inside* an Arrow-vectorized Spark stage — compiled
+once per executor at import time (the analog of the reference's
+compile-at-construction, ``terminalparser.py:88-97``).
+
+Semantics notes (shared contract with ``console_log_parser_spark.oracle``,
+which re-implements them independently as a char-at-a-time FSM):
+
+- "ANSI strip" removes *escape sequences only* (CSI/OSC/DCS/SOS/PM/APC,
+  two-char ESC sequences, stray C1 bytes 0x80-0x9F and lone ESC).
+  C0 control characters (BS, CR, LF, TAB, ...) are kept — they are part of
+  the transcript's editing record, not styling.
+- An escape sequence truncated by end-of-document is dropped entirely
+  (the FSM would still be collecting it when input ends).
+- Command-line reconstruction replays the editing operations the
+  reference's LineBuilder supports (``terminal2html.py:431-554``):
+  BS/CR/TAB, CSI ``@ C D K P X``; SGR and all other sequences are
+  discarded.
+"""
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+# --- sequence grammar ----------------------------------------------------
+# Order matters: Python regex alternation is leftmost-first, so complete
+# CSI/OSC/DCS come before the generic two-char ESC sequence, and the
+# truncated-at-EOD variants come last.
+_CSI = r"(?:\x1b\[|\x9b)[0-?]*[ -/]*[@-~]"
+_OSC = r"(?:\x1b\]|\x9d)[^\x07\x1b\x9c]*(?:\x07|\x1b\\|\x9c)"
+_DCS = r"(?:\x1b[PX^_]|[\x90\x98\x9e\x9f])[^\x1b\x9c]*(?:\x1b\\|\x9c)"
+_ESC2 = r"\x1b[ -/]*[0-~]"
+_C1 = r"[\x80-\x9f]"
+_EOD_CSI = r"(?:\x1b\[|\x9b)[0-?]*[ -/]*$"
+_EOD_OSC = r"(?:\x1b\]|\x9d)[^\x07\x9c]*$"
+_EOD_DCS = r"(?:\x1b[PX^_]|[\x90\x98\x9e\x9f])[^\x9c]*$"
+_EOD_ESC = r"\x1b[ -/]*$"
+
+# Complete sequences first; truncated-at-EOD variants BEFORE the generic
+# two-char ESC (else `ESC [` of a truncated CSI is consumed as an ESC
+# sequence, leaving its params behind); generic ESC and C1 singles last.
+ANSI_RE = re.compile(
+    "|".join([_CSI, _OSC, _DCS,
+              _EOD_CSI, _EOD_OSC, _EOD_DCS,
+              _ESC2, _EOD_ESC, _C1]),
+    re.DOTALL,
+)
+
+# CSI parts, mirroring the reference's (private, params, intermediate,
+# final) record assembly (vtparser.py:644-683).
+CSI_PARTS_RE = re.compile(
+    r"(?:\x1b\[|\x9b)(?P<priv>[<=>?]?)(?P<par>[0-9;:]*)"
+    r"(?P<interm>[ -/]*)(?P<final>[@-~])",
+    re.DOTALL,
+)
+
+# Severity + ISO-timestamp capture (the grok stage of the generalized
+# pipeline; analog of the reference's regex feature layer,
+# terminalparser.py:27-31).
+SEVERITY_RE = re.compile(r"\b(DEBUG|INFO|WARN|ERROR)\b")
+TS_RE = re.compile(r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?")
+
+SEVERITY_ORDER = {"DEBUG": 0, "INFO": 1, "WARN": 2, "ERROR": 3}
+SEVERITIES = ("DEBUG", "INFO", "WARN", "ERROR")
+
+# Prompt on a *reconstructed* (post-replay) line; generalization of the
+# reference's RE_PROMPT (terminalparser.py:28).
+PROMPT_RE = re.compile(
+    r"^(?P<user>[a-z][a-z0-9._-]*)@(?P<host>[-a-zA-Z0-9]+)"
+    r":(?P<cwd>~?[-.\w/ ]*)\$ "
+)
+
+# Two-line MINGW64 prompt: a header line then a bare `$ ` line
+# (terminalparser.py:27 RE_PROMPT_HEADER).
+MINGW_HEADER_RE = re.compile(
+    r"^(?P<user>[a-z.][a-z0-9._-]*)@(?P<host>[-a-zA-Z0-9]+)"
+    r" MINGW64 (?P<cwd>~?[-.\w/ ()]*)\s*$"
+)
+
+# Vim-session span markers (terminalparser.py:33-37: xterm title-stack
+# CSI 22;0;0t on entry, CSI 23;0;0t on exit).
+VIM_START_MARK = "\x1b[22;0;0t"
+VIM_END_MARK = "\x1b[23;0;0t"
+
+
+def strip_ansi(text: str) -> str:
+    """Remove all escape sequences; keep printables and C0 controls."""
+    return ANSI_RE.sub("", text)
+
+
+def seq_key(match_text: str) -> str | None:
+    """Normalized histogram key for one matched escape sequence, or None
+    for a sequence truncated by end-of-document (stripped but not
+    counted as an event — the FSM never dispatched it).
+
+    Mirrors the reference's per-kind histogram keys
+    (vtparser.py:665-694): CSI keyed by private+params+final, ESC by
+    intermediates+final, OSC by the numeric selector, DCS/C1 by kind.
+    """
+    c0 = match_text[0]
+    if c0 == "\x9b" or match_text.startswith("\x1b["):
+        m = CSI_PARTS_RE.match(match_text)
+        if m:
+            return f"CSI:{m.group('priv')}{m.group('par')}{m.group('final')}"
+        return None  # truncated CSI
+    if c0 == "\x9d" or match_text.startswith("\x1b]"):
+        if not (match_text.endswith("\x07") or match_text.endswith("\x1b\\")
+                or match_text.endswith("\x9c")):
+            return None  # truncated OSC
+        body = match_text[2:] if c0 == "\x1b" else match_text[1:]
+        sel = body.split(";", 1)[0]
+        return f"OSC:{sel}"
+    if c0 in "\x90\x98\x9e\x9f" or (
+        c0 == "\x1b" and len(match_text) > 1 and match_text[1] in "PX^_"
+    ):
+        if not (match_text.endswith("\x1b\\") or match_text.endswith("\x9c")):
+            return None  # truncated DCS
+        return "DCS"
+    if c0 == "\x1b":
+        if len(match_text) == 1 or not ("0" <= match_text[-1] <= "~"):
+            return None  # truncated ESC
+        return f"ESC:{match_text[1:]}"
+    return f"C1:{ord(c0):02x}"
+
+
+def classify(text: str) -> tuple[Counter, int, int, int, int, int, int]:
+    """One regex pass -> (seq histogram, n_csi, n_osc, n_esc, n_dcs,
+    n_sgr, n_c1)."""
+    hist: Counter = Counter()
+    n_csi = n_osc = n_esc = n_dcs = n_sgr = n_c1 = 0
+    for m in ANSI_RE.finditer(text):
+        key = seq_key(m.group(0))
+        if key is None:  # truncated at EOD: stripped, never dispatched
+            continue
+        hist[key] += 1
+        k0 = key[0]
+        if k0 == "C" and key[1] == "S":  # CSI:
+            n_csi += 1
+            if key.endswith("m"):
+                n_sgr += 1
+        elif k0 == "O":
+            n_osc += 1
+        elif k0 == "D":
+            n_dcs += 1
+        elif k0 == "E":
+            n_esc += 1
+        else:
+            n_c1 += 1
+    return hist, n_csi, n_osc, n_esc, n_dcs, n_sgr, n_c1
+
+
+class LineBuilder:
+    """Replay line-editing operations to reconstruct the visible line.
+
+    Clean-room reimplementation of the semantics of the reference's
+    LineBuilder (terminal2html.py:431-554), simplified: SGR is always
+    discarded (ignore_SGR=True path), so the line holds only characters
+    and cursor arithmetic never skips style markers.
+    """
+
+    __slots__ = ("line", "pos")
+
+    def __init__(self) -> None:
+        self.line: list[str] = []
+        self.pos = 0
+
+    def text(self, s: str) -> None:
+        line, pos = self.line, self.pos
+        n = len(line)
+        for ch in s:
+            o = ord(ch)
+            if o >= 0x20 or o == 0x09:  # printable or TAB
+                if pos >= n:
+                    line.append(ch)
+                    n += 1
+                else:
+                    line[pos] = ch
+                pos += 1
+            elif o == 0x08:  # BS
+                if pos > 0:
+                    pos -= 1
+            elif o == 0x0D:  # CR
+                pos = 0
+            # LF never reaches here: callers split on LF. Other C0 dropped.
+        self.pos = pos
+
+    def csi(self, par: str, final: str) -> None:
+        line, pos = self.line, self.pos
+        if final == "@":  # insert blanks
+            n = int(par) if par else 1
+            line[pos:pos] = [" "] * n
+        elif final == "C":  # cursor forward, padding with spaces at EOL
+            n = int(par) if par else 1
+            for _ in range(n):
+                if pos >= len(line):
+                    line.append(" ")
+                pos += 1
+            self.pos = pos
+        elif final == "D":  # cursor backward
+            n = int(par) if par else 1
+            self.pos = max(0, pos - n)
+        elif final == "K":  # erase in line
+            if par in ("", "0"):
+                del line[pos:]
+            elif par == "1":
+                line[: pos + 1] = [" "] * min(pos + 1, len(line))
+            elif par == "2":
+                line[:] = [" "] * len(line)
+        elif final == "P":  # delete characters
+            n = int(par) if par else 1
+            del line[pos : pos + n]
+        elif final == "X":  # erase (overwrite with spaces), cursor fixed
+            n = int(par) if par else 1
+            for i in range(pos, min(pos + n, len(line))):
+                line[i] = " "
+        # G (column absolute) is common in real logs; support it too.
+        elif final == "G":
+            col = int(par) if par else 1
+            self.pos = max(0, col - 1)
+        # everything else (SGR 'm', H, h, l, t, ...) is not line-editing.
+
+    def result(self) -> str:
+        return "".join(self.line)
+
+
+def build_line(raw_line: str) -> str:
+    """Reconstruct the visible text of one raw (LF-free) line."""
+    lb = LineBuilder()
+    last = 0
+    for m in ANSI_RE.finditer(raw_line):
+        if m.start() > last:
+            lb.text(raw_line[last : m.start()])
+        g = m.group(0)
+        cm = CSI_PARTS_RE.match(g)
+        if cm:
+            lb.csi(cm.group("par"), cm.group("final"))
+        last = m.end()
+    if last < len(raw_line):
+        lb.text(raw_line[last:])
+    return lb.result()
+
+
+def parse_doc(text: str) -> dict:
+    """Full parse of one decoded transcript -> column dict.
+
+    This is the per-document core the Arrow stage vectorizes over; it is
+    pure compiled-regex + the LineBuilder replay on prompt lines only.
+    """
+    stripped = ANSI_RE.sub("", text)
+    hist, n_csi, n_osc, n_esc, n_dcs, n_sgr, n_c1 = classify(text)
+
+    sev_counts = Counter(SEVERITY_RE.findall(stripped))
+    severity = None
+    for s in ("ERROR", "WARN", "INFO", "DEBUG"):
+        if sev_counts.get(s):
+            severity = s
+            break
+    tss = TS_RE.findall(stripped)
+
+    # vim spans (line-indexed): lines between a start marker and the next
+    # end marker (inclusive) are vim content -> excluded from cmd replay.
+    raw_lines = text.split("\n")
+    n_vim = 0
+    in_vim = False
+    cmd_lines: list[str] = []
+    prompt_count = 0
+    mingw_imminent = False
+    osc_armed = False
+    for rl in raw_lines:
+        # OSC-title correlation (terminalparser.py:101-141): a two-line
+        # MINGW prompt is genuine only when freshly preceded by an OSC 0
+        # title — scrollback redraws repeat the prompt text without the
+        # OSC and must not be re-counted.
+        had_osc = "\x1b]0;" in rl or "\x9d0;" in rl
+        if not in_vim and VIM_START_MARK in rl:
+            in_vim = True
+            n_vim += 1
+            mingw_imminent = False
+            osc_armed = False
+            # a one-line session may close on the same line; the prompt
+            # can share the line with the end marker (RE_PROMPT_INLINE,
+            # terminalparser.py:30) -> process the remainder as a line
+            rest = rl[rl.index(VIM_START_MARK) + len(VIM_START_MARK):]
+            if VIM_END_MARK not in rest:
+                continue
+            in_vim = False
+            rl = rest[rest.index(VIM_END_MARK) + len(VIM_END_MARK):]
+        elif in_vim:
+            if VIM_END_MARK not in rl:
+                continue
+            in_vim = False
+            rl = rl[rl.index(VIM_END_MARK) + len(VIM_END_MARK):]
+        was_imminent, mingw_imminent = mingw_imminent, False
+        was_armed, osc_armed = osc_armed, had_osc
+        if "MINGW64" in rl and was_armed:
+            if MINGW_HEADER_RE.match(build_line(rl)):
+                mingw_imminent = True
+                continue
+        if "$" not in rl:
+            continue  # fast path: no prompt sigil at all
+        built = build_line(rl)
+        if was_imminent and built.startswith("$"):
+            prompt_count += 1
+            cmd = built[2:] if built.startswith("$ ") else ""
+            if cmd:
+                cmd_lines.append(cmd)
+            continue
+        pm = PROMPT_RE.match(built)
+        if pm:
+            prompt_count += 1
+            cmd = built[pm.end():]
+            if cmd:
+                cmd_lines.append(cmd)
+
+    return {
+        "stripped": stripped,
+        "seq_hist": dict(hist),
+        "n_events": sum(hist.values()),
+        "n_csi": n_csi,
+        "n_osc": n_osc,
+        "n_esc": n_esc,
+        "n_dcs": n_dcs,
+        "n_sgr": n_sgr,
+        "n_c1": n_c1,
+        "severity": severity,
+        "n_debug": sev_counts.get("DEBUG", 0),
+        "n_info": sev_counts.get("INFO", 0),
+        "n_warn": sev_counts.get("WARN", 0),
+        "n_error": sev_counts.get("ERROR", 0),
+        "ts_min": min(tss) if tss else None,
+        "ts_max": max(tss) if tss else None,
+        "prompt_count": prompt_count,
+        "cmd_lines": cmd_lines,
+        "n_vim": n_vim,
+    }

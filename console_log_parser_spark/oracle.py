@@ -1,0 +1,459 @@
+"""Pure-Python char-at-a-time oracle for the parse semantics.
+
+Used ONLY by tests and by the correctness gate: a clean-room,
+deliberately *different* implementation style (explicit FSM over single
+characters, string-based line editing) from the engine's vectorized
+regex passes (``functions/ansi.py``). The two must agree; the oracle is
+itself validated against the reference's golden transcripts
+(``/root/reference/test/resources/result_*.txt``, see
+tests/test_oracle_goldens.py).
+
+State model follows the reference's VT500 parser states
+(vtparser.py:8-25) collapsed to the five that matter for stripping and
+event classification: GROUND, ESCAPE, CSI, OSC, DCS.
+
+Known, documented divergence from the engine (never produced by
+datagen, never tested): an ESC embedded inside an OSC/DCS body that is
+not the start of an ST terminator.
+"""
+from __future__ import annotations
+
+GROUND, ESCAPE, CSI, OSC, DCS = 0, 1, 2, 3, 4
+
+_SEVERITIES = ("DEBUG", "INFO", "WARN", "ERROR")
+
+
+class _Event:
+    __slots__ = ("kind", "priv", "par", "interm", "final", "osc_sel", "c1")
+
+    def __init__(self, kind, priv="", par="", interm="", final="",
+                 osc_sel="", c1=-1):
+        self.kind = kind
+        self.priv = priv
+        self.par = par
+        self.interm = interm
+        self.final = final
+        self.osc_sel = osc_sel
+        self.c1 = c1
+
+    def key(self) -> str:
+        if self.kind == "CSI":
+            return f"CSI:{self.priv}{self.par}{self.final}"
+        if self.kind == "OSC":
+            return f"OSC:{self.osc_sel}"
+        if self.kind == "DCS":
+            return "DCS"
+        if self.kind == "ESC":
+            return f"ESC:{self.interm}{self.final}"
+        return f"C1:{self.c1:02x}"
+
+
+class _VisibleLine:
+    """String-based editing replay (intentionally not the engine's
+    list-based LineBuilder)."""
+
+    def __init__(self) -> None:
+        self.s = ""
+        self.col = 0
+
+    def put(self, ch: str) -> None:
+        o = ord(ch)
+        if o >= 0x20 or o == 0x09:
+            if self.col >= len(self.s):
+                self.s += ch
+            else:
+                self.s = self.s[: self.col] + ch + self.s[self.col + 1:]
+            self.col += 1
+        elif o == 0x08:
+            self.col = max(0, self.col - 1)
+        elif o == 0x0D:
+            self.col = 0
+
+    def csi(self, par: str, final: str) -> None:
+        n = int(par) if par.isdigit() else 1
+        c, s = self.col, self.s
+        if final == "@":
+            self.s = s[:c] + " " * (int(par) if par else 1) + s[c:]
+        elif final == "C":
+            n = int(par) if par else 1
+            if c + n > len(s):
+                self.s = s + " " * (c + n - len(s))
+            self.col = c + n
+        elif final == "D":
+            self.col = max(0, c - (int(par) if par else 1))
+        elif final == "K":
+            if par in ("", "0"):
+                self.s = s[:c]
+            elif par == "1":
+                k = min(c + 1, len(s))
+                self.s = " " * k + s[k:]
+            elif par == "2":
+                self.s = " " * len(s)
+        elif final == "P":
+            n = int(par) if par else 1
+            self.s = s[:c] + s[c + n:]
+        elif final == "X":
+            n = int(par) if par else 1
+            end = min(c + n, len(s))
+            if end > c:
+                self.s = s[:c] + " " * (end - c) + s[end:]
+        elif final == "G":
+            col = int(par) if par else 1
+            self.col = max(0, col - 1)
+
+
+def _is_mingw_header(line: str) -> bool:
+    """Manual check for `user@host MINGW64 cwd` two-line prompt headers."""
+    if " MINGW64 " not in line or not line or not (
+            "a" <= line[0] <= "z" or line[0] == "."):
+        return False
+    i, n = 0, len(line)
+    while i < n and (line[i].islower() or line[i].isdigit()
+                     or line[i] in "._-"):
+        i += 1
+    if i == 0 or i >= n or line[i] != "@":
+        return False
+    i += 1
+    h0 = i
+    while i < n and (line[i].isalnum() or line[i] == "-"):
+        i += 1
+    if i == h0 or not line[i:].startswith(" MINGW64 "):
+        return False
+    for ch in line[i + 9:]:
+        if not (ch.isalnum() or ch in "~-./_ ()\r\t"):
+            return False
+    return True
+
+
+def _split_prompt(line: str):
+    """Manual (regex-free) prompt recognition: `user@host:cwd$ `.
+
+    Returns (prompt_len, command) or None.
+    """
+    if not line or not ("a" <= line[0] <= "z"):
+        return None
+    i, n = 0, len(line)
+    while i < n and (line[i].islower() or line[i].isdigit()
+                     or line[i] in "._-"):
+        i += 1
+    if i == 0 or i >= n or line[i] != "@":
+        return None
+    i += 1
+    h0 = i
+    while i < n and (line[i].isalnum() or line[i] == "-"):
+        i += 1
+    if i == h0 or i >= n or line[i] != ":":
+        return None
+    i += 1
+    while i < n and (line[i].isalnum() or line[i] in "~-./_ "):
+        i += 1
+    if i >= n or line[i] != "$" or i + 1 >= n or line[i + 1] != " ":
+        return None
+    return i + 2, line[i + 2:]
+
+
+class OracleParser:
+    """Feed a whole decoded transcript; read columns off the attributes."""
+
+    def __init__(self) -> None:
+        self.state = GROUND
+        self.buf = ""          # collected sequence body after the introducer
+        self.priv = ""
+        self.par = ""
+        self.interm = ""
+        self.stripped: list[str] = []
+        self.events: list[_Event] = []
+        # line layer
+        self.vline = _VisibleLine()
+        self.in_vim = False
+        self.n_vim = 0
+        self.prompt_count = 0
+        self.cmd_lines: list[str] = []
+        self.mingw_imminent = False
+        self.osc_armed = False
+        self.line_had_osc0 = False
+        self._osc_escape_pending = False
+
+    # --- sequence layer -------------------------------------------------
+    def feed(self, text: str) -> None:
+        for ch in text:
+            self._input(ch)
+        self._eof()
+
+    def _input(self, ch: str) -> None:
+        st = self.state
+        if st == GROUND:
+            self._ground(ch)
+        elif st == ESCAPE:
+            self._escape(ch)
+        elif st == CSI:
+            self._csi(ch)
+        elif st == OSC:
+            self._osc(ch)
+        else:
+            self._dcs(ch)
+
+    def _ground(self, ch: str) -> None:
+        o = ord(ch)
+        if o == 0x1B:
+            self.state = ESCAPE
+            self.buf = ""
+        elif 0x80 <= o <= 0x9F:
+            if o == 0x9B:
+                self._enter_csi()
+            elif o == 0x9D:
+                self.state = OSC
+                self.buf = ""
+            elif o in (0x90, 0x98, 0x9E, 0x9F):
+                self.state = DCS
+                self.buf = ""
+            else:
+                self.events.append(_Event("C1", c1=o))
+        else:
+            self._emit(ch)
+
+    def _escape(self, ch: str) -> None:
+        o = ord(ch)
+        if ch == "[":
+            self._enter_csi()
+        elif ch == "]":
+            self.state = OSC
+            self.buf = ""
+        elif ch in "PX^_":
+            self.state = DCS
+            self.buf = ""
+        elif 0x20 <= o <= 0x2F:
+            self.buf += ch
+        elif 0x30 <= o <= 0x7E:
+            self.events.append(_Event("ESC", interm=self.buf, final=ch))
+            self.state = GROUND
+        else:
+            # invalid: the ESC did not begin a sequence; ESC and any
+            # collected intermediates are data (matches the engine regex)
+            self._emit("\x1b")
+            for c in self.buf:
+                self._emit(c)
+            self.state = GROUND
+            self._ground(ch)
+
+    def _enter_csi(self) -> None:
+        self.state = CSI
+        self.priv = self.par = self.interm = ""
+        self._csi_phase = 0  # 0 = params, 1 = intermediates
+
+    def _csi(self, ch: str) -> None:
+        o = ord(ch)
+        if 0x40 <= o <= 0x7E:
+            ev = _Event("CSI", priv=self.priv, par=self.par,
+                        interm=self.interm, final=ch)
+            self.events.append(ev)
+            self.state = GROUND
+            self._csi_event(ev)
+        elif ch in "<=>?" and not self.par and not self.interm \
+                and not self.priv and self._csi_phase == 0:
+            self.priv = ch
+        elif 0x30 <= o <= 0x3F and self._csi_phase == 0:
+            self.par += ch
+        elif 0x20 <= o <= 0x2F:
+            self._csi_phase = 1
+            self.interm += ch
+        else:
+            # invalid char: introducer is stripped, body re-emitted as data
+            for c in self.priv + self.par + self.interm:
+                self._emit(c)
+            self.state = GROUND
+            self._ground(ch)
+
+    def _osc(self, ch: str) -> None:
+        if self._osc_escape_pending:
+            self._osc_escape_pending = False
+            if ch == "\\":
+                self._end_osc()
+                return
+            self.buf += "\x1b" + ch  # divergence case, documented
+            return
+        if ch == "\x07" or ord(ch) == 0x9C:
+            self._end_osc()
+        elif ch == "\x1b":
+            self._osc_escape_pending = True
+        else:
+            self.buf += ch
+
+    def _end_osc(self) -> None:
+        sel = self.buf.split(";", 1)[0]
+        self.events.append(_Event("OSC", osc_sel=sel))
+        if sel == "0":
+            self.line_had_osc0 = True
+        self.state = GROUND
+
+    def _dcs(self, ch: str) -> None:
+        if self._osc_escape_pending:
+            self._osc_escape_pending = False
+            if ch == "\\":
+                self.events.append(_Event("DCS"))
+                self.state = GROUND
+                return
+            self.buf += "\x1b" + ch
+            return
+        if ord(ch) == 0x9C:
+            self.events.append(_Event("DCS"))
+            self.state = GROUND
+        elif ch == "\x1b":
+            self._osc_escape_pending = True
+        else:
+            self.buf += ch
+
+    def _eof(self) -> None:
+        # truncated sequence at end-of-doc: dropped entirely
+        if self.state == GROUND:
+            self._finish_line(final=True)
+        else:
+            self.state = GROUND
+            self._finish_line(final=True)
+
+    # --- line layer -------------------------------------------------------
+    def _emit(self, ch: str) -> None:
+        self.stripped.append(ch)
+        if ch == "\n":
+            self._finish_line()
+        elif not self.in_vim:
+            self.vline.put(ch)
+
+    def _csi_event(self, ev: _Event) -> None:
+        if ev.final == "t" and ev.par == "22;0;0":
+            if not self.in_vim:
+                self.in_vim = True
+                self.n_vim += 1
+                self.vline = _VisibleLine()
+                self.mingw_imminent = False
+                self.osc_armed = False
+                self.line_had_osc0 = False
+        elif ev.final == "t" and ev.par == "23;0;0":
+            if self.in_vim:
+                # prompt may share the line with the end marker
+                # (RE_PROMPT_INLINE): remainder is a fresh visible line
+                self.in_vim = False
+                self.vline = _VisibleLine()
+        elif not self.in_vim:
+            self.vline.csi(ev.par, ev.final)
+
+    def _finish_line(self, final: bool = False) -> None:
+        if final and not self.vline.s:
+            return
+        if self.in_vim:
+            self.vline = _VisibleLine()
+            self.line_had_osc0 = False
+            return
+        line = self.vline.s
+        was_imminent, self.mingw_imminent = self.mingw_imminent, False
+        was_armed, self.osc_armed = self.osc_armed, self.line_had_osc0
+        self.line_had_osc0 = False
+        if was_armed and _is_mingw_header(line):
+            self.mingw_imminent = True
+        elif was_imminent and line.startswith("$"):
+            self.prompt_count += 1
+            if line.startswith("$ ") and len(line) > 2:
+                self.cmd_lines.append(line[2:])
+        else:
+            sp = _split_prompt(line)
+            if sp:
+                self.prompt_count += 1
+                if sp[1]:
+                    self.cmd_lines.append(sp[1])
+        self.vline = _VisibleLine()
+
+
+def oracle_parse_doc(text: str) -> dict:
+    """Parse one transcript -> the same column dict as
+    functions.ansi.parse_doc."""
+    p = OracleParser()
+    p.feed(text)
+    stripped = "".join(p.stripped)
+
+    hist: dict[str, int] = {}
+    n = {"CSI": 0, "OSC": 0, "ESC": 0, "DCS": 0, "C1": 0}
+    n_sgr = 0
+    for ev in p.events:
+        k = ev.key()
+        hist[k] = hist.get(k, 0) + 1
+        n[ev.kind] += 1
+        if ev.kind == "CSI" and ev.final == "m":
+            n_sgr += 1
+
+    sev_counts = {s: 0 for s in _SEVERITIES}
+    i = 0
+    words = _word_scan(stripped)
+    for w in words:
+        if w in sev_counts:
+            sev_counts[w] += 1
+    severity = None
+    for s in ("ERROR", "WARN", "INFO", "DEBUG"):
+        if sev_counts[s]:
+            severity = s
+            break
+    tss = _ts_scan(stripped)
+
+    return {
+        "stripped": stripped,
+        "seq_hist": hist,
+        "n_events": len(p.events),
+        "n_csi": n["CSI"],
+        "n_osc": n["OSC"],
+        "n_esc": n["ESC"],
+        "n_dcs": n["DCS"],
+        "n_c1": n["C1"],
+        "n_sgr": n_sgr,
+        "severity": severity,
+        "n_debug": sev_counts["DEBUG"],
+        "n_info": sev_counts["INFO"],
+        "n_warn": sev_counts["WARN"],
+        "n_error": sev_counts["ERROR"],
+        "ts_min": min(tss) if tss else None,
+        "ts_max": max(tss) if tss else None,
+        "prompt_count": p.prompt_count,
+        "cmd_lines": p.cmd_lines,
+        "n_vim": p.n_vim,
+    }
+
+
+def _word_scan(text: str) -> list[str]:
+    """Word-boundary scan without regex (independent of the engine)."""
+    out, cur = [], []
+    for ch in text:
+        if ch.isalnum() or ch == "_":
+            cur.append(ch)
+        else:
+            if cur:
+                out.append("".join(cur))
+                cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _ts_scan(text: str) -> list[str]:
+    """Find ISO timestamps `YYYY-MM-DD[T ]hh:mm:ss(.frac)?` manually."""
+    out = []
+    n = len(text)
+    i = 0
+    while i + 19 <= n:
+        c = text[i]
+        if c.isdigit():
+            seg = text[i : i + 19]
+            if (seg[:4].isdigit() and seg[4] == "-" and seg[5:7].isdigit()
+                    and seg[7] == "-" and seg[8:10].isdigit()
+                    and seg[10] in "T " and seg[11:13].isdigit()
+                    and seg[13] == ":" and seg[14:16].isdigit()
+                    and seg[16] == ":" and seg[17:19].isdigit()):
+                j = i + 19
+                if j < n and text[j] == ".":
+                    k = j + 1
+                    while k < n and text[k].isdigit():
+                        k += 1
+                    if k > j + 1:
+                        j = k
+                out.append(text[i:j])
+                i = j
+                continue
+        i += 1
+    return out

@@ -1,0 +1,69 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Local mode is the sandbox stand-in for a multi-executor cluster; every
+setting here is chosen to also be the right default at 1000 executors
+(AQE on, skew-join splitting on, Arrow batches sized so one batch of
+~2-4 KiB token docs stays well under executor memory).
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def package_zip() -> str:
+    """Zip this package for worker shipping (the spark-submit
+    ``--py-files`` artifact). Cached per interpreter run."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(),
+                       f"console_log_parser_spark_{os.getuid()}.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_STORED) as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "console_log_parser_spark",
+                        os.path.relpath(full, pkg_dir))
+                    z.write(full, rel)
+    return out
+
+
+def get_spark(app: str = "console_log_parser_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    sp = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE", DEFAULT_SHUFFLE_PARTITIONS))
+    b = (
+        SparkSession.builder.master(master).appName(app)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # ship the package to python workers (spark-submit --py-files
+        # equivalent) so jobs run regardless of the driver's cwd
+        .config("spark.submit.pyFiles", package_zip())
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

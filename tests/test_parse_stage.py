@@ -1,0 +1,51 @@
+"""Spark parse stage (operators/parse.py mapInArrow) vs the pure-Python
+oracle: exact token-array equality per doc_id (BASELINE.json:15) plus
+every derived column."""
+from pyspark.sql import functions as F
+
+from console_log_parser_spark import datagen, oracle
+from console_log_parser_spark.operators.parse import parse_stage
+
+
+def test_parse_stage_matches_oracle(spark, small_dataset):
+    df = spark.read.parquet(f"{small_dataset}/tokenized_logs.parquet")
+    parsed = parse_stage(df)
+    rows = {r["doc_id"]: r for r in parsed.collect()}
+    assert len(rows) == 300
+
+    for i in range(300):
+        doc_id = f"doc_{i:08d}"
+        text, _ = datagen.gen_doc(i)
+        o = oracle.oracle_parse_doc(text)
+        r = rows[doc_id]
+        assert [chr(t) for t in r["ansi_stripped"]] == list(o["stripped"]), doc_id
+        assert r["n_stripped"] == len(o["stripped"])
+        assert r["severity"] == o["severity"], doc_id
+        assert r["cmd_lines"] == o["cmd_lines"], doc_id
+        assert r["prompt_count"] == o["prompt_count"]
+        assert r["n_vim"] == o["n_vim"]
+        assert dict(r["seq_hist"]) == o["seq_hist"], doc_id
+        assert (r["n_debug"], r["n_info"], r["n_warn"], r["n_error"]) == (
+            o["n_debug"], o["n_info"], o["n_warn"], o["n_error"])
+        assert r["ts_min"] == o["ts_min"] and r["ts_max"] == o["ts_max"]
+        assert r["n_events"] == o["n_events"]
+
+
+def test_parse_plan_is_arrow_only(spark, small_dataset):
+    """No row-at-a-time BatchEvalPython anywhere in the physical plan —
+    the parse must cross the JVM boundary via Arrow (SURVEY.md §7)."""
+    df = spark.read.parquet(f"{small_dataset}/tokenized_logs.parquet")
+    parsed = parse_stage(df).groupBy("severity").count()
+    plan = parsed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+
+
+def test_parse_stage_column_pruning(spark, small_dataset):
+    """Aggregating on parse outputs must not force reading unrelated
+    columns... the scan still needs tokens (input to the UDF), but a
+    query on the raw table alone prunes to the selected columns."""
+    df = spark.read.parquet(f"{small_dataset}/tokenized_logs.parquet")
+    q = df.groupBy("source").agg(F.sum("n_tok").alias("s"))
+    plan = q.queryExecution if False else q._jdf.queryExecution().executedPlan().toString()
+    assert "tokens" not in plan.split("ReadSchema")[-1][:200]
