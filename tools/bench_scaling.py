@@ -1,0 +1,87 @@
+"""Two-parallelism scaling evidence (north rule: throughput scaling
+efficiency >= 0.8 between N and 4N executors, evidenced in this sandbox
+by the identical job at local[8] vs local[32] on the same input).
+
+Runs bench.py as a subprocess at each parallelism (median of
+--runs timed runs each), computes efficiency, writes BENCH/BASELINE.md
+and prints one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=1800)
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+    results = {}
+    for cpus in (8, 32):
+        rs = [run_bench(cpus, sf_dir) for _ in range(runs)]
+        med = statistics.median(
+            r["pipeline"]["seq_per_sec"] for r in rs)
+        med_tok = statistics.median(
+            r["pipeline"]["tok_per_sec"] for r in rs)
+        results[cpus] = {
+            "seq_per_sec": med, "tok_per_sec": med_tok,
+            "all_runs": [r["pipeline"]["seq_per_sec"] for r in rs],
+            "sample": rs[-1],
+        }
+    eff = (results[32]["seq_per_sec"] / results[8]["seq_per_sec"]) / 4.0
+    summary = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "seq_per_sec": {k: v["seq_per_sec"] for k, v in results.items()},
+        "tok_per_sec": {k: v["tok_per_sec"] for k, v in results.items()},
+        "sf_dir": sf_dir,
+        "pass": eff >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    r8, r32 = results[8], results[32]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured throughput & scaling
+
+Protocol per BASELINE.md: identical parse->enrich->route->aggregate
+job, identical deterministic input (seed=42 transcripts, cardinality =
+documents({sf_dir}) x amplification), only `--master local[k]`
+differs; python-worker pool warmed before timing; median of {runs}
+runs.
+
+| parallelism | sequences/sec | tokens/sec |
+|---|---|---|
+| local[8]  (N)  | {r8['seq_per_sec']:.0f} | {r8['tok_per_sec']:.0f} |
+| local[32] (4N) | {r32['seq_per_sec']:.0f} | {r32['tok_per_sec']:.0f} |
+
+**Scaling efficiency N->4N = (T32/T8)/4 = {eff:.3f}**
+(requirement: >= 0.8 — {"PASS" if eff >= 0.8 else "FAIL"})
+
+Raw per-run sequences/sec: local[8]={r8['all_runs']},
+local[32]={r32['all_runs']}.
+
+Latest full bench line (local[32]):
+
+```json
+{json.dumps(r32['sample'])}
+```
+""")
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
