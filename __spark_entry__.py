@@ -385,6 +385,45 @@ def ann_bruteforce_top10(spark, sf_dir):
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
 
 
+def ann_lsh_top10(spark, sf_dir):
+    """Scale-path ANN: random-hyperplane LSH (4 tables x 8 bits over
+    integer-quantized embeddings) prunes the corpus to same-bucket
+    candidates, then exact cosine re-ranks — operators/similarity.py."""
+    _ship_package(spark)
+    from console_log_parser_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = similarity.ann_lsh_candidates(emb, query_vec_id=0)
+    full = emb.select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    q = full.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (full.join(cand, "vec_id")
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", "label",
+                    F.round(_cosine(F.col("v"), F.col("qv")), 4)
+                    .alias("score"))
+            .orderBy(F.desc("score"), F.asc("vec_id")).limit(10))
+
+
+def ann_matmul_top10(spark, sf_dir):
+    """Exact top-k via one numpy matmul per Arrow batch with partial
+    per-partition top-k (the 100-TB brute-force baseline); result is
+    identical to ann_bruteforce_top10."""
+    _ship_package(spark)
+    import numpy as np
+
+    from console_log_parser_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = np.asarray(qrow[0], dtype=np.float64)
+    top = similarity.cosine_topk_vectorized(
+        emb.filter(F.col("vec_id") != 0), query, k=10)
+    labels = emb.select("vec_id", "label")
+    return (top.join(F.broadcast(labels), "vec_id")
+            .select("vec_id", "label", "score")
+            .orderBy(F.desc("score"), F.asc("vec_id")))
+
+
 def embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs above 0.45 (dataset max is
     ~0.51, so this returns a small, stable pair set)."""
@@ -465,6 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_signatures": doc_minhash_signatures,
         "doc_simhash_pairs": doc_simhash_pairs,
         "ann_bruteforce_top10": ann_bruteforce_top10,
+        "ann_lsh_top10": ann_lsh_top10,
+        "ann_matmul_top10": ann_matmul_top10,
         "embedding_neardup": embedding_neardup,
         "pipeline_severity_hist": pipeline_severity_hist,
         "pipeline_sink_summary": pipeline_sink_summary,
@@ -775,6 +816,18 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 16
         """,
         "ann_bruteforce_top10": """
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+                 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            SELECT vec_id, label,
+                   round(list_cosine_similarity(v, qv), 4) AS score
+            FROM e, q WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_lsh_top10": __import__(
+            "console_log_parser_spark.operators.similarity",
+            fromlist=["oracle_lsh_sql"]).oracle_lsh_sql(),
+        "ann_matmul_top10": """
             WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                        FROM embeddings),
                  q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns.
+
+Two paths, per the training-data-pipeline brief:
+
+- ``cosine_topk_vectorized``: brute-force exact top-k, but computed as
+  one numpy matmul per Arrow batch (the whole batch's candidate
+  vectors against the query matrix) with a per-partition partial top-k
+  — the shuffle carries only ``partitions x k`` rows to the final
+  merge. This is the scale baseline: embarrassingly parallel, no
+  index, cost O(N·d) FLOPs spread over executors.
+
+- ``lsh_buckets`` / ``ann_lsh_candidates``: random-hyperplane LSH as
+  the index path. Embeddings are quantized to integers
+  (``floor(v*1000 + 0.5)``) and hyperplane entries are ±1 derived from
+  a pure-integer LCG hash, so bucket signatures are exact integer
+  arithmetic — bit-identical across Spark, numpy, and the DuckDB
+  oracle (no float sign-boundary disagreements, the same discipline
+  the repo uses everywhere for engine-portable predicates). L tables ×
+  B bits; candidates = union over tables of same-bucket vectors; exact
+  cosine re-rank on the (tiny) candidate set. At cluster scale the
+  bucket join is an equi-join on the bucket id: shuffle keys are
+  uniformly-distributed hashes, no skew, and the query side is
+  broadcast.
+
+Nothing here uses per-row Python: signatures are one matmul per Arrow
+batch inside a pandas_udf; everything else is built-in DataFrame ops.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+L_TABLES = 4
+B_BITS = 8
+QUANT = 1000.0
+_M31 = 2_147_483_648  # 2^31
+
+
+def _lcg_bit(plane_id: np.ndarray, i: np.ndarray) -> np.ndarray:
+    """Deterministic ±1 from pure integer arithmetic (engine-portable:
+    the DuckDB oracle evaluates the identical formula).
+
+    The ``plane_id*(i+1)`` cross term gives each plane a distinct slope
+    (a purely affine LCG makes planes shifted copies of each other),
+    and the sign folds three spread-out bit positions (plain bit-15 of
+    this LCG is visibly non-uniform). Verified: all 32 planes distinct,
+    |sum(plane)| <= 22 of 64, max pairwise |dot| = 26."""
+    x = (plane_id * 1103515245 + (i + 1) * 12345
+         + plane_id * (i + 1) * 2654435761) % _M31
+    x = (x * 1103515245 + 12345) % _M31
+    parity = ((x >> 9) + (x >> 18) + (x >> 27)) % 2
+    return np.where(parity == 0, 1, -1).astype(np.int64)
+
+
+def hyperplanes(dim: int, l_tables: int = L_TABLES,
+                b_bits: int = B_BITS) -> np.ndarray:
+    """(l_tables*b_bits, dim) matrix of ±1 hyperplane entries."""
+    plane = np.arange(l_tables * b_bits, dtype=np.int64) + 1
+    i = np.arange(dim, dtype=np.int64)
+    return _lcg_bit(plane[:, None], i[None, :])
+
+
+def quantize(mat: np.ndarray) -> np.ndarray:
+    """float embedding matrix -> exact integer weights."""
+    return np.floor(mat.astype(np.float64) * QUANT + 0.5).astype(np.int64)
+
+
+def _signatures_np(mat: np.ndarray, h: np.ndarray,
+                   l_tables: int, b_bits: int) -> np.ndarray:
+    """(n, dim) floats -> (n, l_tables) bucket ids. One matmul."""
+    w = quantize(mat)                      # (n, dim) int64
+    dots = w @ h.T                         # (n, L*B) int64, exact
+    bits = (dots >= 0).astype(np.int64)    # sign bit per plane
+    bits = bits.reshape(-1, l_tables, b_bits)
+    weights = (1 << np.arange(b_bits, dtype=np.int64))
+    codes = (bits * weights).sum(axis=2)   # (n, L)
+    table = np.arange(l_tables, dtype=np.int64) * 65536
+    return codes + table
+
+
+def lsh_buckets(df: DataFrame, vec_col: str = "embedding",
+                dim: int = 64, l_tables: int = L_TABLES,
+                b_bits: int = B_BITS) -> DataFrame:
+    """Add ``buckets: array<long>`` (one id per LSH table) to each row."""
+    h = hyperplanes(dim, l_tables, b_bits)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vecs.to_numpy())
+        sigs = _signatures_np(mat, h, l_tables, b_bits)
+        return pd.Series(list(sigs))
+
+    return df.withColumn("buckets", bucket_udf(F.col(vec_col)))
+
+
+def ann_lsh_candidates(emb: DataFrame, query_vec_id: int,
+                       dim: int = 64) -> DataFrame:
+    """Candidate vec_ids sharing >=1 LSH bucket with the query vector.
+
+    The query's L bucket rows are broadcast; the corpus side is an
+    equi-join on bucket id (uniform hash keys — no skew at scale)."""
+    with_b = lsh_buckets(emb, dim=dim)
+    exploded = with_b.select("vec_id", F.explode("buckets").alias("bucket"))
+    qb = (exploded.filter(F.col("vec_id") == query_vec_id)
+          .select(F.col("bucket").alias("qbucket")).distinct())
+    return (exploded.filter(F.col("vec_id") != query_vec_id)
+            .join(F.broadcast(qb), exploded.bucket == qb.qbucket)
+            .select("vec_id").distinct())
+
+
+def cosine_topk_vectorized(emb: DataFrame, query: np.ndarray, k: int = 10,
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force top-k as one matmul per Arrow batch with
+    per-partition partial top-k; only ~num_partitions*k rows reach the
+    final (driver-side-sized) sort."""
+    import pyarrow as pa
+    q = query.astype(np.float64)
+    qn = np.linalg.norm(q)
+
+    def score_batches(it):
+        for batch in it:
+            if not batch.num_rows:
+                continue
+            vec_ids = batch.column("vec_id").to_numpy()
+            col = batch.column(vec_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            vals = col.values.to_numpy(zero_copy_only=False)
+            mat = vals.reshape(len(vec_ids), -1).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            scores = (mat @ q) / (norms * qn)
+            top = np.argsort(-scores, kind="stable")[:k]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vec_ids[top], pa.int64()),
+                 pa.array(np.round(scores[top], 4), pa.float64())],
+                names=["vec_id", "score"])
+
+    scored = emb.select("vec_id", vec_col).mapInArrow(
+        score_batches, "vec_id long, score double")
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+
+
+def oracle_lsh_sql(query_vec_id: int = 0, k: int = 10,
+                   dim: int = 64, l_tables: int = L_TABLES,
+                   b_bits: int = B_BITS) -> str:
+    """DuckDB SQL computing the identical LSH candidates + exact-cosine
+    re-rank (same integer quantization and hyperplane LCG)."""
+    return f"""
+        WITH e AS (SELECT vec_id, label,
+                          CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        w AS (SELECT vec_id, i,
+                     CAST(floor(v[i] * {QUANT:.0f} + 0.5) AS BIGINT) AS wv
+              FROM e CROSS JOIN range(1, {dim + 1}) t(i)),
+        planes AS (
+            SELECT tb, j, i,
+                   CASE WHEN (((x2 // 512) + (x2 // 262144)
+                               + (x2 // 134217728)) % 2) = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM (SELECT tb, j, i,
+                         ((x1 * 1103515245 + 12345) % {_M31}) AS x2
+                  FROM (SELECT t.tb, jj.j, ii.i,
+                               (((t.tb * {b_bits} + jj.j + 1)
+                                 * 1103515245
+                                 + i * 12345
+                                 + (t.tb * {b_bits} + jj.j + 1)
+                                   * i * 2654435761) % {_M31}) AS x1
+                        FROM range({l_tables}) t(tb)
+                        CROSS JOIN range({b_bits}) jj(j)
+                        CROSS JOIN range(1, {dim + 1}) ii(i)))),
+        bits AS (SELECT w.vec_id, p.tb, p.j,
+                        CASE WHEN sum(p.sgn * w.wv) >= 0
+                             THEN 1 ELSE 0 END AS bit
+                 FROM w JOIN planes p ON w.i = p.i
+                 GROUP BY w.vec_id, p.tb, p.j),
+        sigs AS (SELECT vec_id, tb,
+                        tb * 65536 + sum(bit * (1::BIGINT << j)) AS bucket
+                 FROM bits GROUP BY vec_id, tb),
+        qb AS (SELECT DISTINCT bucket FROM sigs
+               WHERE vec_id = {query_vec_id}),
+        cand AS (SELECT DISTINCT s.vec_id
+                 FROM sigs s JOIN qb ON s.bucket = qb.bucket
+                 WHERE s.vec_id <> {query_vec_id})
+        SELECT e.vec_id, e.label,
+               round(list_cosine_similarity(e.v, q.v), 4) AS score
+        FROM cand
+        JOIN e ON e.vec_id = cand.vec_id
+        CROSS JOIN (SELECT v FROM e WHERE vec_id = {query_vec_id}) q
+        ORDER BY score DESC, e.vec_id ASC
+        LIMIT {k}
+    """
