@@ -440,6 +440,53 @@ def embedding_neardup(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# multimodal: binary media columns (operators/multimodal.py)
+# --------------------------------------------------------------------------
+
+def _media(spark, sf_dir):
+    _ship_package(spark)
+    from console_log_parser_spark.operators import multimodal
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.synth_media_stage(ids)
+
+
+def media_metadata_stats(spark, sf_dir):
+    """Synthesize binary media -> decode headers from the ACTUAL bytes ->
+    aggregate; the oracle recomputes the closed forms, so any breakage in
+    header packing/parsing or payload sizing fails the value hash."""
+    from console_log_parser_spark.operators import multimodal
+    decoded = multimodal.decode_stage(_media(spark, sf_dir))
+    return (decoded.groupBy("media_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("width").alias("sum_w"),
+                 F.sum("height").alias("sum_h"),
+                 F.sum("channels").alias("sum_c"),
+                 F.sum("n_frames").alias("sum_frames"),
+                 F.sum("payload_len").alias("sum_payload"),
+                 F.sum("n_bytes").alias("sum_bytes")))
+
+
+def media_frame_sample(spark, sf_dir):
+    """Video frame sampling (every 2nd frame) — the sampled-frame count
+    and index sum have closed forms the oracle verifies."""
+    from console_log_parser_spark.operators import multimodal
+    frames = multimodal.frame_sample_stage(_media(spark, sf_dir), every=2)
+    return frames.agg(F.count("*").alias("n_sampled"),
+                      F.sum("frame_idx").alias("sum_idx"),
+                      F.countDistinct("doc_id").alias("n_videos"))
+
+
+def media_thumbnails(spark, sf_dir):
+    """Image thumbnails (4x4 average pool). Pixel math is pinned by
+    pytest against a pure recomputation; here the driver checks shape."""
+    from console_log_parser_spark.operators import multimodal
+    thumbs = multimodal.thumbnail_stage(_media(spark, sf_dir), grid=4)
+    return (thumbs.select("doc_id", "media_type",
+                          F.size("thumb").alias("thumb_cells"))
+            .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
 # pipeline operators over synthesized transcripts (rows-only checks:
 # the vectorized ANSI parser is not SQL-expressible; pinned by pytest
 # against the pure-Python oracle instead)
@@ -507,6 +554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top10": ann_lsh_top10,
         "ann_matmul_top10": ann_matmul_top10,
         "embedding_neardup": embedding_neardup,
+        "media_metadata_stats": media_metadata_stats,
+        "media_frame_sample": media_frame_sample,
+        "media_thumbnails": media_thumbnails,
         "pipeline_severity_hist": pipeline_severity_hist,
         "pipeline_sink_summary": pipeline_sink_summary,
         "pipeline_seq_histogram": pipeline_seq_histogram,
@@ -823,6 +873,21 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(v, qv), 4) AS score
             FROM e, q WHERE vec_id <> 0
             ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
+        "media_metadata_stats": __import__(
+            "console_log_parser_spark.operators.multimodal",
+            fromlist=["oracle_metadata_sql"]).oracle_metadata_sql(),
+        "media_frame_sample": """
+            SELECT sum(cnt) AS n_sampled,
+                   sum(cnt * (cnt - 1)) AS sum_idx,
+                   count(*) AS n_videos
+            FROM (SELECT ((2 + doc_id % 6) + 1) // 2 AS cnt
+                  FROM documents WHERE doc_id % 3 = 1)
+        """,
+        "media_thumbnails": """
+            SELECT doc_id, 'image' AS media_type,
+                   CAST(16 AS INT) AS thumb_cells
+            FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id
         """,
         "ann_lsh_top10": __import__(
             "console_log_parser_spark.operators.similarity",
