@@ -232,6 +232,48 @@ def events_asof_interleave(spark, sf_dir):
         F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n_right"))
 
 
+_STREAM_SEQ = [0]
+
+
+def stream_sessionize(spark, sf_dir):
+    """Structured Streaming applyInPandasWithState sessionizer driven
+    over a 2-file stream (2 micro-batches with carried state); the final
+    per-user counters must equal the batch lag() sessionizer, which is
+    exactly what the SQL oracle computes."""
+    import glob
+    import shutil
+    import tempfile
+
+    _ship_package(spark)
+    from console_log_parser_spark.streaming import jobs
+
+    d = tempfile.mkdtemp(prefix="stream_sess_")
+    src = f"{d}/src"
+    os.makedirs(src)
+    ev = _t(spark, sf_dir, "events").orderBy("ts", "event_id")
+    # split at the median event time -> two time-ordered micro-batches
+    cut = ev.selectExpr("percentile_approx(ts, 0.5) p").first()["p"]
+    first = ev.filter(F.col("ts") <= cut)
+    second = ev.filter(F.col("ts") > cut)
+    for i, part in enumerate((first, second)):
+        pdir = f"{d}/p{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        for j, f in enumerate(sorted(glob.glob(f"{pdir}/*.parquet"))):
+            shutil.copy(f, f"{src}/{i:02d}_{j}.parquet")
+
+    _STREAM_SEQ[0] += 1
+    qname = f"stream_sess_{_STREAM_SEQ[0]}"
+    q = jobs.run_stateful_sessionize(spark, src, f"{d}/ckpt", qname,
+                                     max_files_per_trigger=1)
+    q.awaitTermination(300)
+    # update-mode memory sink: one row per (user, batch); the counters
+    # are monotone, so max == final state
+    return (spark.sql(f"SELECT * FROM {qname}")
+            .groupBy("user_id")
+            .agg(F.max("n_sessions").alias("n_sessions"),
+                 F.max("n_events").alias("n_events")))
+
+
 # --------------------------------------------------------------------------
 # documents: dedup / text analysis
 # --------------------------------------------------------------------------
@@ -541,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_retime_quantize": events_retime_quantize,
         "events_asof_interleave": events_asof_interleave,
+        "stream_sessionize": stream_sessionize,
         "doc_dedup_exact": doc_dedup_exact,
         "doc_fingerprint": doc_fingerprint,
         "doc_token_count": doc_token_count,
@@ -693,6 +736,20 @@ def oracle_sql() -> dict[str, str]:
                          lag(event_id % 2) OVER (ORDER BY ts, event_id)
                              AS prev_side
                   FROM events)
+        """,
+        "stream_sessionize": """
+            SELECT user_id,
+                   sum(new_session) AS n_sessions,
+                   count(*) AS n_events
+            FROM (SELECT user_id,
+                         CASE WHEN prev_ts IS NULL
+                                OR epoch(ts) - epoch(prev_ts) > 1800
+                              THEN 1 ELSE 0 END AS new_session
+                  FROM (SELECT user_id, ts,
+                               lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+                        FROM events))
+            GROUP BY user_id
         """,
         "doc_dedup_exact": """
             SELECT source, count(*) AS n_docs,

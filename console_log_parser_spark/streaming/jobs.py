@@ -1,0 +1,163 @@
+"""Structured Streaming surface of the engine.
+
+The reference's streaming-shaped pieces map here:
+
+- the throttled replay sink (terminalreplay.py:19-162, a rate-paced
+  emitter) and the asciinema frame stream (asciinema2html.py:281-308)
+  generalize to a *streaming* parse->enrich->route pipeline:
+  ``readStream`` over the tokenized-log table, the SAME mapInArrow
+  parse stage as batch (one code path, two execution modes), a
+  stream-static broadcast enrich join, and a partitioned-by-sink
+  ``writeStream`` with exactly-once checkpointing — the streaming twin
+  of plans/checkpoint.py's batch manifests.
+- frame-timestamp analytics (asciinema2html.py:226-243) generalize to
+  watermarked event-time windowed aggregation (late data bounded by
+  the watermark instead of the reference's in-order assumption).
+- the prompt/vim session state machine (terminalparser.py:18-24, one
+  FSM instance carried across lines) generalizes to a custom stateful
+  operator via ``applyInPandasWithState``: per-key state carried
+  across micro-batches with an idle timeout.
+
+All jobs default to ``Trigger.AvailableNow`` so tests and backfills
+drain the source then stop; a live deployment flips the trigger only.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TOKENIZED_SCHEMA_DDL = (
+    "doc_id string, tokens array<int>, n_tok int, source string")
+
+EVENTS_SCHEMA_DDL = ("event_id long, ts timestamp, user_id long, "
+                     "event_type string, value double, props string")
+
+
+def read_tokenized_stream(spark: SparkSession, in_dir: str,
+                          max_files_per_trigger: int | None = None
+                          ) -> DataFrame:
+    r = spark.readStream.schema(TOKENIZED_SCHEMA_DDL)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(in_dir)
+
+
+def stream_pipeline(spark: SparkSession, in_dir: str, out_dir: str,
+                    checkpoint_dir: str, routes: DataFrame,
+                    max_files_per_trigger: int | None = None):
+    """Streaming parse -> enrich -> route with exactly-once sink.
+
+    Returns the started StreamingQuery (AvailableNow trigger: drains
+    everything currently in ``in_dir`` and stops)."""
+    from ..operators.enrich import apply_suppress_filter, enrich_stage
+    from ..operators.parse import parse_stage
+
+    logs = read_tokenized_stream(spark, in_dir, max_files_per_trigger)
+    parsed = parse_stage(logs)           # same stage object as batch
+    routed = apply_suppress_filter(enrich_stage(parsed, routes))
+    # (no salted repartition here: streaming micro-batches are already
+    # bounded; the partitionBy(sink) write gives the fan-out)
+    return (routed.writeStream
+            .format("parquet")
+            .option("path", f"{out_dir}/routed")
+            .option("checkpointLocation", checkpoint_dir)
+            .partitionBy("sink")
+            .trigger(availableNow=True)
+            .start())
+
+
+def windowed_severity_counts(events: DataFrame,
+                             window_len: str = "1 hour",
+                             watermark: str = "2 hours") -> DataFrame:
+    """Event-time windowed histogram with a late-data watermark —
+    the streaming analog of the per-sink severity histogram."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window_len).alias("win"),
+                     F.col("event_type"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"),
+                    "event_type", "n", "sum_value"))
+
+
+SESSION_STATE_DDL = "last_ts_us long, n_sessions long, n_events long"
+SESSION_OUT_DDL = "user_id long, n_sessions long, n_events long"
+SESSION_GAP_US = 1800 * 1_000_000
+
+
+def _sessionize_fn(key: tuple, pdf_iter: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    """Carry (last_ts, session count, event count) per user across
+    micro-batches; a >30 min gap opens a new session. Rows within each
+    batch are sorted by event time before folding (the streaming twin
+    of the batch lag() sessionizer)."""
+    last_ts, n_sessions, n_events = (
+        state.get if state.exists else (None, 0, 0))
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # pandas datetime64[ns] -> microseconds since epoch
+        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+        for t in ts_us:
+            if last_ts is None or t - last_ts > SESSION_GAP_US:
+                n_sessions += 1
+            last_ts = t
+            n_events += 1
+    state.update((last_ts, n_sessions, n_events))
+    # NB: no state timeout — an AvailableNow drain must terminate once
+    # the source is empty, and pending processing-time timeouts would
+    # keep the query alive waiting for them
+    yield pd.DataFrame({"user_id": [key[0]],
+                        "n_sessions": [n_sessions],
+                        "n_events": [n_events]})
+
+
+def stateful_sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user session counting with
+    cross-micro-batch state (applyInPandasWithState)."""
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(
+                _sessionize_fn,
+                outputStructType=SESSION_OUT_DDL,
+                stateStructType=SESSION_STATE_DDL,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_stateful_sessionize(spark: SparkSession, in_dir: str,
+                            checkpoint_dir: str, query_name: str,
+                            max_files_per_trigger: int = 1):
+    """Drive the stateful sessionizer over a file stream into a memory
+    sink (update mode); returns the started query."""
+    events = (spark.readStream.schema(EVENTS_SCHEMA_DDL)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(in_dir))
+    out = stateful_sessionize(events)
+    return (out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def run_windowed_severity(spark: SparkSession, in_dir: str, out_dir: str,
+                          checkpoint_dir: str,
+                          max_files_per_trigger: int = 1):
+    """Append-mode emission requires the watermark to pass a window's
+    end, which only happens on a *later* micro-batch — so the source is
+    read file-by-file; with a finite backfill the trailing windows
+    (inside the watermark of max event time) stay unemitted by design."""
+    events = (spark.readStream.schema(EVENTS_SCHEMA_DDL)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(in_dir))
+    agg = windowed_severity_counts(events)
+    return (agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
