@@ -232,6 +232,63 @@ def events_asof_interleave(spark, sf_dir):
         F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n_right"))
 
 
+# --------------------------------------------------------------------------
+# asciinema cast source (sources/asciinema.py): JSONL parse, re-timing,
+# two-stream hop interleave — reference S3/S4/P12/J4
+# --------------------------------------------------------------------------
+
+def _cast_lines(spark, sf_dir):
+    _ship_package(spark)
+    from console_log_parser_spark.sources import asciinema
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    return asciinema.synth_cast_lines(ids)
+
+
+def cast_frame_stats(spark, sf_dir):
+    """Synthesize JSONL casts (JVM expressions), parse them back via
+    from_json/get_json_object, aggregate; the oracle recomputes the
+    closed forms — any breakage in the JSON round trip mismatches."""
+    from console_log_parser_spark.sources import asciinema
+    lines = _cast_lines(spark, sf_dir)
+    fr = asciinema.frames(lines)
+    hd = asciinema.headers(lines).filter("valid")
+    per_doc = fr.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("ts").alias("max_ts"))
+    joined = per_doc.join(hd.select("doc_id", "width"), "doc_id")
+    return joined.agg(
+        F.count("*").alias("n_casts"),
+        F.sum("n_frames").alias("total_frames"),
+        F.round(F.sum("max_ts"), 2).alias("sum_max_ts"),
+        F.sum("width").alias("sum_width"))
+
+
+def cast_retime_hist(spark, sf_dir):
+    """P12 frame re-timing: lag(ts) deltas quantized to the reference
+    bucket list, histogrammed."""
+    from console_log_parser_spark.sources import asciinema
+    fr = asciinema.frames(_cast_lines(spark, sf_dir))
+    q = asciinema.retime_quantized(fr)
+    return (q.groupBy(F.col("q").alias("bucket"))
+            .agg(F.count("*").alias("n")))
+
+
+def cast_hops(spark, sf_dir):
+    """J4 two-stream interleave: even-doc casts vs odd-doc casts merged
+    by time; hops = side switches."""
+    from console_log_parser_spark.sources import asciinema
+    fr = asciinema.frames(_cast_lines(spark, sf_dir))
+    left = fr.filter(F.col("doc_id") % 2 == 0)
+    right = fr.filter(F.col("doc_id") % 2 == 1)
+    h = asciinema.hops(left, right)
+    return h.agg(
+        F.sum(F.when(F.col("is_hop"), 1).otherwise(0)).alias("n_hops"),
+        F.sum(F.when(F.col("side") == "left", 1).otherwise(0))
+        .alias("n_left"),
+        F.sum(F.when(F.col("side") == "right", 1).otherwise(0))
+        .alias("n_right"))
+
+
 _STREAM_SEQ = [0]
 
 
@@ -584,6 +641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retime_quantize": events_retime_quantize,
         "events_asof_interleave": events_asof_interleave,
         "stream_sessionize": stream_sessionize,
+        "cast_frame_stats": cast_frame_stats,
+        "cast_retime_hist": cast_retime_hist,
+        "cast_hops": cast_hops,
         "doc_dedup_exact": doc_dedup_exact,
         "doc_fingerprint": doc_fingerprint,
         "doc_token_count": doc_token_count,
@@ -736,6 +796,58 @@ def oracle_sql() -> dict[str, str]:
                          lag(event_id % 2) OVER (ORDER BY ts, event_id)
                              AS prev_side
                   FROM events)
+        """,
+        "cast_frame_stats": """
+            SELECT count(*) AS n_casts,
+                   sum(5 + doc_id % 20) AS total_frames,
+                   round(sum(round((4 + doc_id % 20)
+                       * (doc_id % 100 + 1)
+                       * CAST(0.05 AS DOUBLE), 4)), 2) AS sum_max_ts,
+                   sum(80 + doc_id % 40) AS sum_width
+            FROM documents
+        """,
+        "cast_retime_hist": """
+            SELECT bucket, sum(n) AS n FROM (
+                SELECT CASE
+                         WHEN s >= 4.0 THEN CAST(4.0 AS DOUBLE)
+                         WHEN s >= 2.0 THEN CAST(2.0 AS DOUBLE)
+                         WHEN s >= 1.0 THEN CAST(1.0 AS DOUBLE)
+                         WHEN s >= 0.5 THEN CAST(0.5 AS DOUBLE)
+                         WHEN s >= 0.3 THEN CAST(0.3 AS DOUBLE)
+                         WHEN s >= 0.18 THEN CAST(0.18 AS DOUBLE)
+                         WHEN s >= 0.1 THEN CAST(0.1 AS DOUBLE)
+                         ELSE CAST(0.03 AS DOUBLE) END AS bucket,
+                       (4 + doc_id % 20) AS n
+                FROM (SELECT doc_id,
+                             (doc_id % 100 + 1) * CAST(0.05 AS DOUBLE)
+                                 AS s
+                      FROM documents))
+            GROUP BY bucket
+        """,
+        "cast_hops": """
+            WITH fr AS (
+                SELECT d.doc_id,
+                       CASE WHEN d.doc_id % 2 = 0
+                            THEN 'left' ELSE 'right' END AS side,
+                       round(t.i * (d.doc_id % 100 + 1)
+                             * CAST(0.05 AS DOUBLE), 4) AS ts
+                FROM documents d
+                CROSS JOIN range(0, 25) t(i)
+                WHERE t.i < 5 + d.doc_id % 20
+            ),
+            flagged AS (
+                SELECT side,
+                       lag(side) OVER (ORDER BY ts, side, doc_id)
+                           AS prev_side
+                FROM fr)
+            SELECT sum(CASE WHEN prev_side IS NOT NULL
+                             AND side <> prev_side
+                            THEN 1 ELSE 0 END) AS n_hops,
+                   sum(CASE WHEN side = 'left' THEN 1 ELSE 0 END)
+                       AS n_left,
+                   sum(CASE WHEN side = 'right' THEN 1 ELSE 0 END)
+                       AS n_right
+            FROM flagged
         """,
         "stream_sessionize": """
             SELECT user_id,
