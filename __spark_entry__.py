@@ -607,6 +607,32 @@ def _routed(spark, sf_dir):
     return route_stage(apply_suppress_filter(enrich_stage(parsed, routes)))
 
 
+def html_render_stats(spark, sf_dir):
+    """S6/S7 HTML sink over synthesized transcripts: render pages
+    (SGR->span fold inside one Arrow stage), aggregate per sink.
+    Rows-only: the span semantics are pinned by tests/test_html_sink.py
+    against the reference's convert_csi behavior."""
+    _ship_package(spark)
+    from console_log_parser_spark import datagen
+    from console_log_parser_spark.operators.parse import synth_tokens_stage
+    from console_log_parser_spark.sinks import html as html_sink
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id_num"))
+    logs = synth_tokens_stage(ids)
+    routes = spark.createDataFrame(datagen.route_metadata_rows())
+    with_sink = logs.join(
+        F.broadcast(routes.select("source", "sink", "title")),
+        "source", "left").fillna({"sink": "sink_dead_letter",
+                                  "title": "untitled"})
+    pages = html_sink.render_html_stage(with_sink)
+    return (pages.groupBy("sink")
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum("n_spans").alias("sum_spans"),
+                 F.sum("n_warnings").alias("sum_warnings"),
+                 F.sum("html_len").alias("sum_html_len"))
+            .orderBy("sink"))
+
+
 def pipeline_severity_hist(spark, sf_dir):
     from console_log_parser_spark.operators import aggregate as agg_ops
     return agg_ops.severity_histogram(_routed(spark, sf_dir))
@@ -660,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata_stats": media_metadata_stats,
         "media_frame_sample": media_frame_sample,
         "media_thumbnails": media_thumbnails,
+        "html_render_stats": html_render_stats,
         "pipeline_severity_hist": pipeline_severity_hist,
         "pipeline_sink_summary": pipeline_sink_summary,
         "pipeline_seq_histogram": pipeline_seq_histogram,
