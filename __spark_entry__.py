@@ -232,6 +232,52 @@ def events_asof_interleave(spark, sf_dir):
         F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n_right"))
 
 
+def events_range_join(spark, sf_dir):
+    """J5 analog (asciinema2html.py:94-101 hop-window correlation): a
+    range-predicate join of the fact table against a small literal
+    band dimension — broadcast nested-loop join, never a shuffle of
+    the fact side."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0, 10), ("mid", 10, 100), ("high", 100, 10**9)],
+        "band string, lo int, hi int")
+    j = ev.join(F.broadcast(bands),
+                (ev.value >= bands.lo) & (ev.value < bands.hi), "inner")
+    return (j.groupBy("band")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def events_distinct_sets(spark, sf_dir):
+    """A8 analog (vtparser.py:714,738 distinct-string sets): exact
+    distinct cardinalities per event_type. (At 10^12 rows the same
+    plan runs with approx_count_distinct; exact kept here so the
+    DuckDB oracle can agree bit-for-bit.)"""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.countDistinct("props").alias("n_props"),
+                 F.count("*").alias("n_events")))
+
+
+def cast_poster_base64(spark, sf_dir):
+    """P13 (asciinema2html.py:131-151, 183-189): base64-embedded frame
+    payload + poster timestamp (end - 1.0 when the cast is longer than
+    2 s, else end - 0.4)."""
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    max_ts = F.round(
+        (F.lit(4) + F.pmod(d, F.lit(20)))
+        * (F.pmod(d, F.lit(100)) + 1) * F.lit(0.05), 4)
+    poster = F.round(F.when(max_ts > 2.0, max_ts - 1.0)
+                     .otherwise(max_ts - 0.4), 4)
+    payload = F.format_string("frame 0 of doc %d\r\n", d)
+    return docs.select(
+        "doc_id",
+        F.base64(F.encode(payload, "utf-8")).alias("payload_b64"),
+        poster.alias("poster_ts"))
+
+
 # --------------------------------------------------------------------------
 # asciinema cast source (sources/asciinema.py): JSONL parse, re-timing,
 # two-stream hop interleave — reference S3/S4/P12/J4
@@ -666,6 +712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_retime_quantize": events_retime_quantize,
         "events_asof_interleave": events_asof_interleave,
+        "events_range_join": events_range_join,
+        "events_distinct_sets": events_distinct_sets,
+        "cast_poster_base64": cast_poster_base64,
         "stream_sessionize": stream_sessionize,
         "cast_frame_stats": cast_frame_stats,
         "cast_retime_hist": cast_retime_hist,
@@ -823,6 +872,33 @@ def oracle_sql() -> dict[str, str]:
                          lag(event_id % 2) OVER (ORDER BY ts, event_id)
                              AS prev_side
                   FROM events)
+        """,
+        "events_range_join": """
+            SELECT band, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            JOIN (VALUES ('low', 0, 10), ('mid', 10, 100),
+                         ('high', 100, 1000000000)) b(band, lo, hi)
+              ON value >= lo AND value < hi
+            GROUP BY band
+        """,
+        "events_distinct_sets": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(DISTINCT props) AS n_props,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "cast_poster_base64": """
+            SELECT doc_id,
+                   base64(encode('frame 0 of doc ' || doc_id
+                                 || chr(13) || chr(10))) AS payload_b64,
+                   round(CASE WHEN max_ts > 2.0 THEN max_ts - 1.0
+                              ELSE max_ts - 0.4 END, 4) AS poster_ts
+            FROM (SELECT doc_id,
+                         round((4 + doc_id % 20) * (doc_id % 100 + 1)
+                               * CAST(0.05 AS DOUBLE), 4) AS max_ts
+                  FROM documents)
         """,
         "cast_frame_stats": """
             SELECT count(*) AS n_casts,
