@@ -440,18 +440,20 @@ def doc_ngram_jaccard(spark, sf_dir):
     """3-gram shingle Jaccard near-dup pairs; integer cross-multiplied
     threshold (J >= 0.5) avoids float boundaries."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    shingled = docs.select(
+    shingled = (docs.select("doc_id", F.split("text", " ").alias("ws"))
+                .select(
         "doc_id",
         F.expr(
-            "array_distinct(CASE WHEN size(split(text, ' ')) >= 3 THEN "
-            "transform(sequence(1, size(split(text, ' ')) - 2), "
-            "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-            "element_at(split(text, ' '), i + 1), "
-            "element_at(split(text, ' '), i + 2))) "
-            "ELSE array() END)").alias("shingles"))
+            "array_distinct(CASE WHEN size(ws) >= 3 THEN "
+            "transform(sequence(1, size(ws) - 2), "
+            "i -> concat_ws(' ', element_at(ws, i), "
+            "element_at(ws, i + 1), element_at(ws, i + 2))) "
+            "ELSE array() END)").alias("shingles")))
     sizes = shingled.select("doc_id",
                             F.size("shingles").alias("n_shingles"))
-    ex = shingled.select("doc_id", F.explode("shingles").alias("sh"))
+    # feeds both sides of the self-join: persist to shingle once
+    ex = shingled.select("doc_id",
+                         F.explode("shingles").alias("sh")).persist()
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (a.join(b, (F.col("a.sh") == F.col("b.sh"))

@@ -40,16 +40,21 @@ def _words(text_col: str = "text"):
 
 def shingles(df: DataFrame, k: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
-    """(id, text) -> (id, shingle) distinct k-word shingles."""
+    """(id, text) -> (id, shingle) distinct k-word shingles.
+
+    The text is split ONCE into a materialized array column; the
+    shingle transform indexes into it (inlining ``split`` inside each
+    ``element_at`` makes Catalyst re-split the text k times per
+    shingle — O(words^2) per doc)."""
     expr = (
-        f"array_distinct(CASE WHEN size(split({text_col}, ' ')) >= {k} "
-        f"THEN transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}), "
+        f"array_distinct(CASE WHEN size(ws) >= {k} "
+        f"THEN transform(sequence(1, size(ws) - {k - 1}), "
         + "i -> concat_ws(' ', "
-        + ", ".join(f"element_at(split({text_col}, ' '), i + {j})"
-                    for j in range(k))
+        + ", ".join(f"element_at(ws, i + {j})" for j in range(k))
         + ")) ELSE array() END)"
     )
-    return (df.select(id_col, F.explode(F.expr(expr)).alias("shingle")))
+    return (df.select(id_col, F.split(F.col(text_col), " ").alias("ws"))
+            .select(id_col, F.explode(F.expr(expr)).alias("shingle")))
 
 
 def shingle_hash(col):
@@ -59,35 +64,37 @@ def shingle_hash(col):
 
 def minhash_signatures(df: DataFrame, k: int = 3, n_perm: int = 8,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       _shingles: DataFrame | None = None) -> DataFrame:
     """(id, text) -> (id, sig: array<long>[n_perm]).
 
     Signature j = min over shingles of (a_j * h + b_j) mod p, h = the
-    portable shingle hash mod p. Computed as one explode + cross of the
-    tiny permutation table + two-level min aggregate.
+    portable shingle hash mod p. Computed as one hash-aggregate pass
+    with n_perm min() columns.
     """
-    sh = shingles(df, k, id_col, text_col).withColumn(
+    base = _shingles if _shingles is not None \
+        else shingles(df, k, id_col, text_col)
+    sh = base.withColumn(
         "h", shingle_hash(F.col("shingle")) % MERSENNE_P)
-    perms = sh.sparkSession.createDataFrame(
-        [(j, a, b) for j, (a, b) in enumerate(PERMS[:n_perm])],
-        "j int, a long, b long")
-    vals = (sh.crossJoin(F.broadcast(perms))
-            .select(id_col, "j",
-                    ((F.col("a") * F.col("h") + F.col("b"))
-                     % MERSENNE_P).alias("v")))
-    mins = vals.groupBy(id_col, "j").agg(F.min("v").alias("mv"))
-    return (mins.groupBy(id_col)
-            .agg(F.expr("transform(array_sort(collect_list(struct(j, mv))),"
-                        " s -> s.mv)").alias("sig")))
+    # one hash-aggregate pass with n_perm min() columns — no perm-table
+    # cross join (which multiplies the shuffle by n_perm) and no
+    # second-level (id, j) aggregation
+    mins = sh.groupBy(id_col).agg(*[
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P)
+        .alias(f"m{j}")
+        for j, (a, b) in enumerate(PERMS[:n_perm])])
+    return mins.select(
+        id_col, F.array(*[f"m{j}" for j in range(n_perm)]).alias("sig"))
 
 
 def minhash_lsh_candidates(df: DataFrame, k: int = 3, n_perm: int = 8,
                            n_bands: int = 4, id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           _shingles: DataFrame | None = None) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs
     (doc_a < doc_b, distinct)."""
     rows_per_band = n_perm // n_bands
-    sigs = minhash_signatures(df, k, n_perm, id_col, text_col)
+    sigs = minhash_signatures(df, k, n_perm, id_col, text_col, _shingles)
     bands = sigs.select(
         id_col,
         F.posexplode(F.expr(
@@ -108,8 +115,11 @@ def minhash_dedup_pairs(df: DataFrame, k: int = 3, n_perm: int = 8,
                         text_col: str = "text") -> DataFrame:
     """Candidates verified by exact shingle Jaccard >= num/den
     (integer cross-multiplication — no float boundary)."""
-    cands = minhash_lsh_candidates(df, k, n_perm, n_bands, id_col, text_col)
-    sh = shingles(df, k, id_col, text_col)
+    # the shingle frame feeds four consumers (signatures, both sides of
+    # the common-shingle join, sizes) — persist it so split+md5 run once
+    sh = shingles(df, k, id_col, text_col).persist()
+    cands = minhash_lsh_candidates(df, k, n_perm, n_bands, id_col,
+                                   text_col, _shingles=sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -148,21 +158,27 @@ def simhash(df: DataFrame, bits: int = 64, id_col: str = "doc_id",
     h = h_lo.bitwiseXOR(
         F.shiftleft(h_hi.bitwiseAND(F.lit((1 << 59) - 1)), 4))
     hashed = wc.select(id_col, "cnt", h.alias("h"))
-    bit_cols = F.expr(
-        "transform(sequence(0, 63), i -> "
-        "CASE WHEN ((h >> i) & 1) = 1 THEN cnt ELSE -cnt END)")
-    per_doc = (hashed.select(id_col, bit_cols.alias("contrib"))
-               .groupBy(id_col)
-               .agg(F.expr(
-                   "aggregate(collect_list(contrib), "
-                   "transform(sequence(0, 63), i -> 0L), "
-                   "(acc, x) -> zip_with(acc, x, (p, q) -> p + q))")
-                   .alias("sums")))
-    return per_doc.select(
-        id_col,
-        F.expr("aggregate(sequence(0, 63), 0L, (acc, i) -> "
-               "CASE WHEN element_at(sums, i + 1) > 0 "
-               "THEN acc | (1L << i) ELSE acc END)").alias("simhash"))
+    # 64 conditional-sum aggregate columns in ONE hash-agg pass (with
+    # map-side partial combine) instead of collecting a 64-long array
+    # per word and folding arrays per doc — same result, ~5x cheaper
+    signed = F.col("cnt")
+    sums = hashed.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                     signed).otherwise(-signed)).alias(f"s{i}")
+        for i in range(bits)])
+    from functools import reduce
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+
+    def bit(i):
+        # shiftleft wraps at i=63 exactly like the original `1L << i`
+        # SQL (and like the DuckDB oracle's 1::BIGINT << 63)
+        return F.when(F.col(f"s{i}") > 0,
+                      F.shiftleft(one, i)).otherwise(zero)
+
+    simhash_col = reduce(lambda acc, i: acc.bitwiseOR(bit(i)),
+                         range(1, bits), bit(0))
+    return sums.select(id_col, simhash_col.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3,
