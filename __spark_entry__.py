@@ -472,6 +472,43 @@ def doc_ngram_jaccard(spark, sf_dir):
             .select("doc_a", "doc_b", "common", "size_a", "size_b"))
 
 
+def doc_dedup_keep_first(spark, sf_dir):
+    """Exact dedup with canonical survivor (min doc_id per md5(text));
+    per-source surviving counts."""
+    _ship_package(spark)
+    from console_log_parser_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text")
+    kept = dedup.dedup_keep_first(docs)
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("doc_id").alias("sum_kept_ids")))
+
+
+def doc_dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash near-dup pair graph:
+    (doc_id, cluster-min label) per clustered doc — iterative min-label
+    propagation; the DuckDB oracle recomputes it with a recursive CTE."""
+    _ship_package(spark)
+    from console_log_parser_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_dedup_pairs(docs)
+    return dedup.duplicate_clusters(pairs).orderBy("doc_id")
+
+
+def doc_word_topk(spark, sf_dir):
+    """Top-3 words per language by frequency (A9/A10 analog over the
+    documents table)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("lang", F.explode(F.split("text", " "))
+                        .alias("w"))
+    counts = words.groupBy("lang", "w").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("w"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("lang", "w", "n", "rank"))
+
+
 def doc_minhash_dedup(spark, sf_dir):
     """MinHash(8 perms) + LSH(4 bands) candidate pairs verified by exact
     shingle Jaccard >= 1/2 (operators/dedup.py). Portable md5-based
@@ -727,6 +764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_ngram_jaccard": doc_ngram_jaccard,
+        "doc_dedup_keep_first": doc_dedup_keep_first,
+        "doc_dedup_clusters": doc_dedup_clusters,
+        "doc_word_topk": doc_word_topk,
         "doc_minhash_dedup": doc_minhash_dedup,
         "doc_minhash_signatures": doc_minhash_signatures,
         "doc_simhash_pairs": doc_simhash_pairs,
@@ -1031,6 +1071,81 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON pairs.doc_a = sa.doc_id
             JOIN sizes sb ON pairs.doc_b = sb.doc_id
             WHERE common * 2 >= sa.n + sb.n - common
+        """,
+        "doc_dedup_keep_first": """
+            SELECT source, count(*) AS n_kept,
+                   sum(doc_id) AS sum_kept_ids
+            FROM (SELECT source, doc_id,
+                         row_number() OVER (PARTITION BY md5(text)
+                             ORDER BY doc_id) AS rn
+                  FROM documents)
+            WHERE rn = 1 GROUP BY source
+        """,
+        "doc_dedup_clusters": """
+            WITH RECURSIVE
+            words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct(
+                       [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, greatest(len(ws) - 1, 1))])) AS s
+                   FROM words),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(s), 1, 15))::BIGINT
+                             % 2147483647 AS hv
+                  FROM sh),
+            perms(j, a, b) AS (VALUES
+                (0, 1203077387, 528034983), (1, 885961883, 1723930551),
+                (2, 1817469788, 1236687677), (3, 602982498, 1106438810),
+                (4, 2006519551, 927473217), (5, 460128514, 1597226340),
+                (6, 1106819081, 342973211), (7, 1378749216, 79380292)),
+            mins AS (SELECT doc_id, j,
+                            min((a * hv + b) % 2147483647) AS mv
+                     FROM h CROSS JOIN perms GROUP BY doc_id, j),
+            sigs AS (SELECT doc_id, array_agg(mv ORDER BY j) AS sig
+                     FROM mins GROUP BY doc_id),
+            bands AS (SELECT doc_id,
+                             t.b || ':' || sig[t.b*2+1] || '_'
+                                 || sig[t.b*2+2] AS bucket
+                      FROM sigs CROSS JOIN
+                           (SELECT unnest(range(4)) AS b) t),
+            cand AS (SELECT DISTINCT x.doc_id AS doc_a,
+                            y.doc_id AS doc_b
+                     FROM bands x JOIN bands y
+                       ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+            sizes AS (SELECT doc_id, count(DISTINCT s) AS n FROM sh
+                      GROUP BY doc_id),
+            cmn AS (SELECT doc_a, doc_b, count(*) AS common
+                    FROM cand
+                    JOIN sh sa ON sa.doc_id = cand.doc_a
+                    JOIN sh sb ON sb.doc_id = cand.doc_b
+                              AND sb.s = sa.s
+                    GROUP BY doc_a, doc_b),
+            pairs AS (SELECT doc_a, doc_b FROM cmn
+                      JOIN sizes za ON cmn.doc_a = za.doc_id
+                      JOIN sizes zb ON cmn.doc_b = zb.doc_id
+                      WHERE common * 2 >= za.n + zb.n - common),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                      UNION ALL
+                      SELECT doc_b, doc_a FROM pairs),
+            reach(node, label) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.label
+                FROM edges e JOIN reach r ON r.node = e.v)
+            SELECT node AS doc_id, min(label) AS label
+            FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "doc_word_topk": """
+            SELECT lang, w, n, rank FROM (
+                SELECT lang, w, n,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY n DESC, w ASC) AS rank
+                FROM (SELECT lang, w, count(*) AS n
+                      FROM (SELECT lang,
+                                   unnest(string_split(text, ' ')) AS w
+                            FROM documents)
+                      GROUP BY lang, w))
+            WHERE rank <= 3
         """,
         "doc_minhash_signatures": """
             WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws

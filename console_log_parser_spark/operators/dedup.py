@@ -136,6 +136,59 @@ def minhash_dedup_pairs(df: DataFrame, k: int = 3, n_perm: int = 8,
             .select("doc_a", "doc_b", "common", "size_a", "size_b"))
 
 
+def dedup_keep_first(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup with canonical survivor: keep the smallest id per
+    md5(text) group. One window pass over the hash — the shuffle key is
+    the 128-bit digest, uniformly distributed, skew-free at any scale."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: every doc gets
+    the minimum doc_id reachable through the pair graph as its cluster
+    label (the canonical survivor of its duplicate cluster).
+
+    Iterative min-label propagation — each round is one shuffle
+    (groupBy node) over the edge list; rounds needed = graph diameter
+    (tiny for dup clusters), bounded by ``max_iters`` with a driver-side
+    convergence check (sum of labels is monotonically decreasing, so
+    equal sums == converged). Deterministic, resume-safe.
+
+    pairs: (doc_a, doc_b) with doc_a < doc_b. Returns (doc_id, cluster).
+    """
+    edges = (pairs.select(F.col("doc_a").alias("u"),
+                          F.col("doc_b").alias("v"))
+             .union(pairs.select(F.col("doc_b").alias("u"),
+                                 F.col("doc_a").alias("v"))))
+    edges = edges.persist()
+    labels = (edges.select(F.col("u").alias("node"),
+                           F.col("u").alias("label"))
+              .union(edges.select(F.col("v").alias("node"),
+                                  F.col("v").alias("label")))
+              .groupBy("node").agg(F.min("label").alias("label")))
+    prev_sum = None
+    for _ in range(max_iters):
+        # candidate label for each node: min over (own, neighbors')
+        nbr = (edges.join(labels, edges.v == labels.node)
+               .select(F.col("u").alias("node"), "label"))
+        labels = (labels.select("node", "label").union(nbr)
+                  .groupBy("node").agg(F.min("label").alias("label"))
+                  .persist())
+        # labels only ever decrease, so an unchanged multiset checksum
+        # means a fixed point was reached
+        cur_sum = labels.agg(
+            F.sum(F.xxhash64("node", "label").cast("decimal(38,0)"))
+            .alias("s")).first()["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), "label")
+
+
 def simhash(df: DataFrame, bits: int = 64, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(id, text) -> (id, simhash: long).

@@ -23,8 +23,12 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=1800)
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    lines = out.stdout.strip().splitlines()
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench.py failed (rc={out.returncode}) at cpus={cpus}:\n"
+            + out.stderr[-2000:])
+    return json.loads(lines[-1])
 
 
 def main():
