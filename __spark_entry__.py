@@ -589,6 +589,26 @@ def ann_lsh_top10(spark, sf_dir):
             .orderBy(F.desc("score"), F.asc("vec_id")).limit(10))
 
 
+def ann_ivf_top10(spark, sf_dir):
+    """IVF ANN: deterministic coarse codebook (vec_id % 43 == 1),
+    integer-exact cell assignment, nprobe=2 probe, exact cosine
+    re-rank — operators/similarity.py."""
+    _ship_package(spark)
+    from console_log_parser_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = similarity.ann_ivf_candidates(emb, query_vec_id=0)
+    full = emb.select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    q = full.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (full.join(cand, "vec_id")
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", "label",
+                    F.round(_cosine(F.col("v"), F.col("qv")), 4)
+                    .alias("score"))
+            .orderBy(F.desc("score"), F.asc("vec_id")).limit(10))
+
+
 def ann_matmul_top10(spark, sf_dir):
     """Exact top-k via one numpy matmul per Arrow batch with partial
     per-partition top-k (the 100-TB brute-force baseline); result is
@@ -772,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": doc_simhash_pairs,
         "ann_bruteforce_top10": ann_bruteforce_top10,
         "ann_lsh_top10": ann_lsh_top10,
+        "ann_ivf_top10": ann_ivf_top10,
         "ann_matmul_top10": ann_matmul_top10,
         "embedding_neardup": embedding_neardup,
         "media_metadata_stats": media_metadata_stats,
@@ -1281,6 +1302,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_top10": __import__(
             "console_log_parser_spark.operators.similarity",
             fromlist=["oracle_lsh_sql"]).oracle_lsh_sql(),
+        "ann_ivf_top10": __import__(
+            "console_log_parser_spark.operators.similarity",
+            fromlist=["oracle_ivf_sql"]).oracle_ivf_sql(),
         "ann_matmul_top10": """
             WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                        FROM embeddings),

@@ -44,11 +44,14 @@ def pipeline_job(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_base = docs.count()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ids = (docs.select(F.col("doc_id").cast("long").alias("base_id"))
            .crossJoin(spark.range(AMPLIFY).withColumnRenamed("id", "k"))
            .select((F.col("base_id") * AMPLIFY + F.col("k"))
                    .alias("doc_id_num"))
-           .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))))
+           # 3 partitions per core: stragglers rebalance instead of
+           # serializing the stage on its slowest partition
+           .repartition(cpus * 3))
     logs = synth_tokens_stage(ids)
     routes = spark.createDataFrame(datagen.route_metadata_rows())
     parsed = parse_stage(logs)

@@ -146,6 +146,104 @@ def cosine_topk_vectorized(emb: DataFrame, query: np.ndarray, k: int = 10,
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
 
 
+def ivf_assign(emb: DataFrame, centroid_mod: int = 43,
+               vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """IVF coarse quantizer with a deterministic codebook: centroids
+    are the corpus vectors whose ``vec_id % centroid_mod == 1`` (no
+    k-means iterations — reproducible, engine-portable); every vector
+    is assigned to the centroid minimizing the *integer-quantized*
+    squared L2 distance (exact arithmetic, ties broken by centroid id,
+    so Spark and the SQL oracle can never disagree on a cell).
+
+    At scale the codebook is a broadcast (a few thousand rows even for
+    10^9 vectors); assignment is one matmul per Arrow batch."""
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    cent_rows = (emb.filter(F.col("vec_id") % centroid_mod == 1)
+                 .select("vec_id", vec_col).collect())
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    cent_mat = quantize(np.array([r[vec_col] for r in cent_rows]))
+    order = np.argsort(cent_ids)
+    cent_ids, cent_mat = cent_ids[order], cent_mat[order]
+    cent_sq = (cent_mat * cent_mat).sum(axis=1)
+
+    @F.pandas_udf(LongType())
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        w = quantize(np.stack(vecs.to_numpy()))
+        # argmin over ||w - c||^2 = ||c||^2 - 2 w.c (+ ||w||^2 const);
+        # all integer, ties -> lowest centroid id (ids are sorted)
+        d = cent_sq[None, :] - 2 * (w @ cent_mat.T)
+        return pd.Series(cent_ids[np.argmin(d, axis=1)])
+
+    return emb.withColumn("cell", assign_udf(F.col(vec_col)))
+
+
+def ann_ivf_candidates(emb: DataFrame, query_vec_id: int,
+                       centroid_mod: int = 43, nprobe: int = 2,
+                       vec_col: str = "embedding") -> DataFrame:
+    """IVF search: probe the ``nprobe`` cells nearest the query vector
+    (by the same integer metric) and return their members."""
+    assigned = ivf_assign(emb, centroid_mod, vec_col)
+    cent = assigned.filter(F.col("vec_id") % centroid_mod == 1)
+    qv = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col(vec_col).alias("qv"))
+    # integer distance query->centroid, smallest nprobe cells
+    wq = F.transform("qv", lambda x: F.floor(
+        x.cast("double") * QUANT + F.lit(0.5)).cast("long"))
+    wc = F.transform(vec_col, lambda x: F.floor(
+        x.cast("double") * QUANT + F.lit(0.5)).cast("long"))
+    dist = F.aggregate(
+        F.zip_with(wc, F.col("qw"), lambda c, q: (c - q) * (c - q)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    probed = (cent.crossJoin(F.broadcast(qv.select(wq.alias("qw"))))
+              .select("vec_id", dist.alias("d"))
+              .orderBy("d", "vec_id").limit(nprobe)
+              .select(F.col("vec_id").alias("cell")))
+    return (assigned.join(F.broadcast(probed), "cell")
+            .filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id"))
+
+
+def oracle_ivf_sql(query_vec_id: int = 0, k: int = 10,
+                   centroid_mod: int = 43, nprobe: int = 2,
+                   dim: int = 64) -> str:
+    """DuckDB: identical IVF assign -> probe -> exact-cosine re-rank."""
+    return f"""
+        WITH e AS (SELECT vec_id, label,
+                          CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        w AS (SELECT vec_id, i,
+                     CAST(floor(v[i] * {QUANT:.0f} + 0.5) AS BIGINT) AS wv
+              FROM e CROSS JOIN range(1, {dim + 1}) t(i)),
+        cw AS (SELECT vec_id AS cid, i, wv AS cv FROM w
+               WHERE vec_id % {centroid_mod} = 1),
+        dists AS (SELECT w.vec_id, cw.cid,
+                         sum((w.wv - cw.cv) * (w.wv - cw.cv)) AS d
+                  FROM w JOIN cw ON w.i = cw.i
+                  GROUP BY w.vec_id, cw.cid),
+        assign AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rn
+                       FROM dists) WHERE rn = 1),
+        probe AS (SELECT cid FROM dists
+                  WHERE vec_id = {query_vec_id}
+                  ORDER BY d, cid LIMIT {nprobe}),
+        cand AS (SELECT a.vec_id FROM assign a
+                 JOIN probe p ON a.cid = p.cid
+                 WHERE a.vec_id <> {query_vec_id})
+        SELECT e.vec_id, e.label,
+               round(list_cosine_similarity(e.v, q.v), 4) AS score
+        FROM cand JOIN e ON e.vec_id = cand.vec_id
+        CROSS JOIN (SELECT v FROM e WHERE vec_id = {query_vec_id}) q
+        ORDER BY score DESC, e.vec_id ASC
+        LIMIT {k}
+    """
+
+
 def oracle_lsh_sql(query_vec_id: int = 0, k: int = 10,
                    dim: int = 64, l_tables: int = L_TABLES,
                    b_bits: int = B_BITS) -> str:

@@ -16,13 +16,27 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+_PACKAGE_ZIP: str | None = None
+
+
 def package_zip() -> str:
     """Zip this package for worker shipping (the spark-submit
-    ``--py-files`` artifact). Cached per interpreter run."""
+    ``--py-files`` artifact).
+
+    Built ONCE per interpreter and with fixed zip-entry timestamps:
+    Spark executors byte-compare an added file against their cached
+    copy on every task, so regenerating the zip while an app is
+    running (or letting entry mtimes leak into the bytes) fails task
+    dependency fetches with 'exists and does not match contents'."""
+    global _PACKAGE_ZIP
+    if _PACKAGE_ZIP is not None and os.path.exists(_PACKAGE_ZIP):
+        return _PACKAGE_ZIP
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(tempfile.gettempdir(),
-                       f"console_log_parser_spark_{os.getuid()}.zip")
+                       f"console_log_parser_spark_{os.getuid()}_"
+                       f"{os.getpid()}.zip")
     with zipfile.ZipFile(out, "w", zipfile.ZIP_STORED) as z:
+        entries = []
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:
                 continue
@@ -32,7 +46,13 @@ def package_zip() -> str:
                     rel = os.path.join(
                         "console_log_parser_spark",
                         os.path.relpath(full, pkg_dir))
-                    z.write(full, rel)
+                    entries.append((rel, full))
+        for rel, full in sorted(entries):
+            with open(full, "rb") as fh:
+                data = fh.read()
+            info = zipfile.ZipInfo(rel, date_time=(2020, 1, 1, 0, 0, 0))
+            z.writestr(info, data)
+    _PACKAGE_ZIP = out
     return out
 
 

@@ -78,6 +78,36 @@ def test_lsh_candidates_subset_and_nonempty(emb):
     _ = F  # keep import for parity with other tests
 
 
+def test_ivf_assign_matches_pure_python(emb):
+    from console_log_parser_spark.operators import similarity as sim
+    rows = emb.select("vec_id", "embedding").collect()
+    cents = sorted((r["vec_id"], sim.quantize(np.asarray(r["embedding"])))
+                   for r in rows if r["vec_id"] % 43 == 1)
+    got = {r["vec_id"]: r["cell"]
+           for r in sim.ivf_assign(emb).select("vec_id", "cell").collect()}
+    for r in rows:
+        w = sim.quantize(np.asarray(r["embedding"]))
+        best = min((int(((w - cv) ** 2).sum()), cid) for cid, cv in cents)
+        assert got[r["vec_id"]] == best[1], r["vec_id"]
+
+
+def test_ivf_candidates_prune_and_contain_query_cell(emb):
+    from pyspark.sql import functions as F
+
+    from console_log_parser_spark.operators import similarity as sim
+    cand = {r[0] for r in
+            sim.ann_ivf_candidates(emb, query_vec_id=0).collect()}
+    n = emb.count()
+    assert 0 < len(cand) < n - 1
+    # the query's own cell members must all be candidates (nprobe>=1)
+    assigned = sim.ivf_assign(emb)
+    qcell = assigned.filter(F.col("vec_id") == 0).first()["cell"]
+    members = {r["vec_id"] for r in
+               assigned.filter((F.col("cell") == qcell)
+                               & (F.col("vec_id") != 0)).collect()}
+    assert members <= cand
+
+
 def test_matmul_topk_equals_exact(emb, spark):
     import __spark_entry__ as em
     brute = em.ann_bruteforce_top10(spark, SF_DIR).collect()

@@ -20,6 +20,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=sf_dir)
+    # scaling runs need enough work that fixed per-job overheads
+    # (scheduling, worker pool, GC) amortize — otherwise the 4N level
+    # measures overhead, not throughput; the INPUT is identical at
+    # both levels (same amplification)
+    env.setdefault("SPARK_GRAFT_AMPLIFY",
+                   os.environ.get("SPARK_GRAFT_AMPLIFY", "80"))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=1800)
