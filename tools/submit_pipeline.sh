@@ -17,10 +17,17 @@ print(package_zip())
 EOF
 )
 
+# Same allocator pinning as session.py (large transient Arrow/decode
+# buffers must come off the reused heap, not mmap/munmap cycles).
+export MALLOC_MMAP_THRESHOLD_=${MALLOC_MMAP_THRESHOLD_:-536870912}
+export MALLOC_TRIM_THRESHOLD_=${MALLOC_TRIM_THRESHOLD_:-536870912}
+
+MEM="${SPARK_GRAFT_DRIVER_MEM:-8g}"
 exec spark-submit \
     --master "local[$CORES]" \
-    --driver-memory "${SPARK_GRAFT_DRIVER_MEM:-8g}" \
+    --driver-memory "$MEM" \
     --conf spark.sql.shuffle.partitions="$CORES" \
+    --conf spark.driver.extraJavaOptions="-Xms$MEM -XX:+AlwaysPreTouch" \
     --conf spark.ui.enabled=false \
     --py-files "$ZIP" \
     jobs/run_pipeline.py --in-dir "$IN_DIR" --out-dir "$OUT_DIR" \
