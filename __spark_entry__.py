@@ -1322,4 +1322,23 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
         """,
+        # pipeline aggregates: the parse semantics are not
+        # SQL-expressible, but the expected aggregates ARE exactly
+        # checkable — computed by the INDEPENDENT char-FSM oracle
+        # (oracle.py, validated against the reference goldens) plus a
+        # plain-Python enrich/route/aggregate re-implementation, and
+        # serialized as literal VALUES (oracle_pipeline.py). The driver
+        # runs at sf=0.01 per __spark_entry__ contract.
+        "pipeline_severity_hist": __import__(
+            "console_log_parser_spark.oracle_pipeline",
+            fromlist=["severity_histogram_sql"]).severity_histogram_sql(),
+        "pipeline_sink_summary": __import__(
+            "console_log_parser_spark.oracle_pipeline",
+            fromlist=["sink_summary_sql"]).sink_summary_sql(),
+        "pipeline_seq_histogram": __import__(
+            "console_log_parser_spark.oracle_pipeline",
+            fromlist=["seq_histogram_sql"]).seq_histogram_sql(),
+        "pipeline_top_commands": __import__(
+            "console_log_parser_spark.oracle_pipeline",
+            fromlist=["top_commands_sql"]).top_commands_sql(k=5),
     }
