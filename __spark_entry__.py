@@ -1341,4 +1341,10 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_top_commands": __import__(
             "console_log_parser_spark.oracle_pipeline",
             fromlist=["top_commands_sql"]).top_commands_sql(k=5),
+        # HTML sink aggregates: second independent renderer (kind-tagged
+        # span stack over the char-FSM stream, oracle_html.py) ->
+        # literal VALUES
+        "html_render_stats": __import__(
+            "console_log_parser_spark.oracle_html",
+            fromlist=["render_stats_sql"]).render_stats_sql(),
     }
