@@ -91,7 +91,32 @@ def encode_string_lists(strings: list[str]) -> pa.ListArray:
                                     pa.array(values, pa.int32()))
 
 
-def parse_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+class Extractor:
+    """A pluggable column producer for the parse stage — the engine's
+    analog of the reference's handler-injection slots
+    (``terminal_output_handler`` / ``control_sequence_handler`` /
+    ``dc_control_handler`` / ``osc_handler``, vtparser.py:485-530,
+    wired at terminal2html.py:690-692): instead of mutating a stateful
+    sink, a plugin computes one extra COLUMN per document inside the
+    same Arrow batch loop (no extra python stage, no per-row UDF).
+
+    fn(text, parsed) -> value; ``text`` is the decoded transcript,
+    ``parsed`` the engine's column dict (ansi.parse_doc). ``ddl`` is
+    the Spark type (e.g. ``"int"``, ``"array<string>"``), ``pa_type``
+    the matching pyarrow type.
+    """
+
+    __slots__ = ("name", "ddl", "pa_type", "fn")
+
+    def __init__(self, name: str, ddl: str, pa_type, fn):
+        self.name = name
+        self.ddl = ddl
+        self.pa_type = pa_type
+        self.fn = fn
+
+
+def parse_batch(batch: pa.RecordBatch,
+                extractors: tuple = ()) -> pa.RecordBatch:
     docs, _ = decode_token_lists(batch.column("tokens"))
     n = len(docs)
     parsed = [ansi.parse_doc(d) for d in docs]
@@ -117,19 +142,37 @@ def parse_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         pa.array([len(p["cmd_lines"]) for p in parsed], pa.int32()),
         i32("n_vim"),
     ]
+    schema = _ARROW_SCHEMA
+    if extractors:
+        fields = list(_ARROW_SCHEMA)
+        for ex in extractors:
+            arrays.append(pa.array(
+                [ex.fn(d, p) for d, p in zip(docs, parsed)], ex.pa_type))
+            fields.append(pa.field(ex.name, ex.pa_type))
+        schema = pa.schema(fields)
     assert n == len(arrays[0])
-    return pa.RecordBatch.from_arrays(arrays, schema=_ARROW_SCHEMA)
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
-def _map_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    for batch in it:
-        if batch.num_rows:
-            yield parse_batch(batch)
+def parse_stage(df: DataFrame, extractors: tuple = ()) -> DataFrame:
+    """tokenized_logs(doc_id, tokens, n_tok, source) -> parsed columns.
 
+    ``extractors``: optional tuple of :class:`Extractor` plugins; each
+    adds one output column, computed inside the same single MapInArrow
+    stage.
+    """
+    exs = tuple(extractors)
 
-def parse_stage(df: DataFrame) -> DataFrame:
-    """tokenized_logs(doc_id, tokens, n_tok, source) -> parsed columns."""
-    return df.mapInArrow(_map_batches, PARSED_SCHEMA_DDL)
+    def _map_batches(it: Iterator[pa.RecordBatch]) \
+            -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            if batch.num_rows:
+                yield parse_batch(batch, exs)
+
+    ddl = PARSED_SCHEMA_DDL
+    if exs:
+        ddl += ", " + ", ".join(f"{e.name} {e.ddl}" for e in exs)
+    return df.mapInArrow(_map_batches, ddl)
 
 
 # --- generate-from-ids stage (entry-point path over driver tables) -----

@@ -49,3 +49,30 @@ def test_parse_stage_column_pruning(spark, small_dataset):
     q = df.groupBy("source").agg(F.sum("n_tok").alias("s"))
     plan = q.queryExecution if False else q._jdf.queryExecution().executedPlan().toString()
     assert "tokens" not in plan.split("ReadSchema")[-1][:200]
+
+
+def test_parse_stage_extractor_plugin(spark, small_dataset):
+    """SURVEY §2.8 extension surface: a plugin adds one column computed
+    inside the SAME single MapInArrow stage (analog of the reference's
+    handler slots, vtparser.py:524-530) — no extra python stage, no
+    per-row UDF."""
+    import pyarrow as pa
+
+    from console_log_parser_spark.operators.parse import Extractor
+
+    ex = Extractor(
+        "n_dollar", "int", pa.int32(),
+        lambda text, parsed: text.count("$"))
+    df = spark.read.parquet(f"{small_dataset}/tokenized_logs.parquet")
+    out = parse_stage(df, extractors=(ex,))
+    rows = {r["doc_id"]: r for r in
+            out.select("doc_id", "n_dollar", "severity").collect()}
+
+    from console_log_parser_spark import datagen
+    for doc_id, r in list(rows.items())[:50]:
+        text, _ = datagen.gen_doc(int(doc_id.split("_")[1]), 42)
+        assert r["n_dollar"] == text.count("$"), doc_id
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1
+    assert "BatchEvalPython" not in plan
