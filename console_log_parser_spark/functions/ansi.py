@@ -65,6 +65,11 @@ CSI_PARTS_RE = re.compile(
 # terminalparser.py:27-31).
 SEVERITY_RE = re.compile(r"\b(DEBUG|INFO|WARN|ERROR)\b")
 TS_RE = re.compile(r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?")
+# error accounting (SURVEY.md §4: one bad row must not kill a 10^12-row
+# job — malformed input becomes a COLUMN, not an exception): a lone ESC
+# surviving the strip = an escape the grammar could not parse; U+FFFD =
+# an invalid code point replaced during token decode.
+UNPARSED_RE = re.compile("[\x1b\ufffd]")
 
 SEVERITY_ORDER = {"DEBUG": 0, "INFO": 1, "WARN": 2, "ERROR": 3}
 SEVERITIES = ("DEBUG", "INFO", "WARN", "ERROR")
@@ -381,4 +386,5 @@ def parse_doc(text: str) -> dict:
         "prompt_count": prompt_count,
         "cmd_lines": cmd_lines,
         "n_vim": n_vim,
+        "n_unparsed": len(UNPARSED_RE.findall(stripped)),
     }

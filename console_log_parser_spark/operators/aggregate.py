@@ -22,6 +22,7 @@ def sink_summary(routed: DataFrame) -> DataFrame:
                  F.sum("prompt_count").alias("sum_prompts"),
                  F.sum("n_cmd_routed").alias("sum_cmds"),
                  F.sum("n_vim").alias("sum_vim"),
+                 F.sum("n_unparsed").alias("sum_unparsed"),
                  F.countDistinct("source").alias("n_sources"),
                  F.min("ts_min").alias("ts_min"),
                  F.max("ts_max").alias("ts_max")))

@@ -31,7 +31,8 @@ PARSED_SCHEMA_DDL = (
     "seq_hist map<string,int>, "
     "severity string, n_debug int, n_info int, n_warn int, n_error int, "
     "ts_min string, ts_max string, "
-    "prompt_count int, cmd_lines array<string>, n_cmd int, n_vim int"
+    "prompt_count int, cmd_lines array<string>, n_cmd int, n_vim int, "
+    "n_unparsed int"
 )
 
 _ARROW_SCHEMA = pa.schema([
@@ -59,6 +60,7 @@ _ARROW_SCHEMA = pa.schema([
     ("cmd_lines", pa.list_(pa.string())),
     ("n_cmd", pa.int32()),
     ("n_vim", pa.int32()),
+    ("n_unparsed", pa.int32()),
 ])
 
 
@@ -141,6 +143,7 @@ def parse_batch(batch: pa.RecordBatch,
         pa.array([p["cmd_lines"] for p in parsed], pa.list_(pa.string())),
         pa.array([len(p["cmd_lines"]) for p in parsed], pa.int32()),
         i32("n_vim"),
+        i32("n_unparsed"),
     ]
     schema = _ARROW_SCHEMA
     if extractors:

@@ -413,6 +413,8 @@ def oracle_parse_doc(text: str) -> dict:
         "prompt_count": p.prompt_count,
         "cmd_lines": p.cmd_lines,
         "n_vim": p.n_vim,
+        "n_unparsed": sum(1 for c in stripped
+                          if c == "\x1b" or c == "\ufffd"),
     }
 
 

@@ -55,6 +55,7 @@ def routed_rows(sf_dir: str = "/root/testdata/sf0.01") -> tuple:
             "prompt_count": p["prompt_count"],
             "n_cmd_routed": len(cmds),
             "n_vim": p["n_vim"],
+            "n_unparsed": p["n_unparsed"],
             "n_debug": p["n_debug"], "n_info": p["n_info"],
             "n_warn": p["n_warn"], "n_error": p["n_error"],
             "ts_min": p["ts_min"], "ts_max": p["ts_max"],
@@ -112,14 +113,15 @@ def sink_summary_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
             sum(r["prompt_count"] for r in rs),
             sum(r["n_cmd_routed"] for r in rs),
             sum(r["n_vim"] for r in rs),
+            sum(r["n_unparsed"] for r in rs),
             len({r["source"] for r in rs}),
             min(ts_mins) if ts_mins else None,
             max(ts_maxs) if ts_maxs else None,
         ))
     return _values_sql(
         ["sink", "n_rows", "sum_n_tok", "sum_n_stripped", "sum_n_events",
-         "sum_prompts", "sum_cmds", "sum_vim", "n_sources", "ts_min",
-         "ts_max"], rows)
+         "sum_prompts", "sum_cmds", "sum_vim", "sum_unparsed", "n_sources",
+         "ts_min", "ts_max"], rows)
 
 
 def seq_histogram_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:

@@ -9,7 +9,7 @@ from console_log_parser_spark.functions import ansi
 KEYS = ["stripped", "seq_hist", "n_events", "n_csi", "n_osc", "n_esc",
         "n_dcs", "n_sgr", "n_c1", "severity", "n_debug", "n_info",
         "n_warn", "n_error", "ts_min", "ts_max", "prompt_count",
-        "cmd_lines", "n_vim"]
+        "cmd_lines", "n_vim", "n_unparsed"]
 
 
 @pytest.mark.parametrize("lo,hi", [(0, 150), (150, 300), (5000, 5100)])

@@ -18,7 +18,7 @@ from console_log_parser_spark.functions import ansi
 KEYS = ["stripped", "seq_hist", "n_events", "n_csi", "n_osc", "n_esc",
         "n_dcs", "n_sgr", "n_c1", "severity", "n_debug", "n_info",
         "n_warn", "n_error", "ts_min", "ts_max", "prompt_count",
-        "cmd_lines", "n_vim"]
+        "cmd_lines", "n_vim", "n_unparsed"]
 
 _WORDS = ["make", "test", "ok", "x=1", "INFO", "ERROR", "WARN", "DEBUG",
           "path/to", "2024-03-01 10:20:30", "2024-03-01T10:20:30.5",
