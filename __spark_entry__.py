@@ -758,6 +758,24 @@ def pipeline_top_commands(spark, sf_dir):
     return agg_ops.top_commands(_routed(spark, sf_dir), k=5)
 
 
+def pipeline_source_rollup(spark, sf_dir):
+    """ROLLUP(route, source) in one pass — per-source, per-route and
+    grand totals (A1-A12 generalization; partial+final hash agg)."""
+    from console_log_parser_spark.operators import aggregate as agg_ops
+    return agg_ops.source_rollup(_routed(spark, sf_dir))
+
+
+def events_type_cube(spark, sf_dir):
+    """GROUP BY CUBE over the events table: all 4 grouping sets of
+    (event_type, user bucket) in one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("user_bucket",
+                          (F.col("user_id") % 10).cast("long"))
+            .cube("event_type", "user_bucket")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -803,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sink_summary": pipeline_sink_summary,
         "pipeline_seq_histogram": pipeline_seq_histogram,
         "pipeline_top_commands": pipeline_top_commands,
+        "pipeline_source_rollup": pipeline_source_rollup,
+        "events_type_cube": events_type_cube,
     }
 
 
@@ -1347,4 +1367,13 @@ def oracle_sql() -> dict[str, str]:
         "html_render_stats": __import__(
             "console_log_parser_spark.oracle_html",
             fromlist=["render_stats_sql"]).render_stats_sql(),
+        "pipeline_source_rollup": __import__(
+            "console_log_parser_spark.oracle_pipeline",
+            fromlist=["source_rollup_sql"]).source_rollup_sql(),
+        "events_type_cube": """
+            SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY CUBE (event_type, CAST(user_id % 10 AS BIGINT))
+        """,
     }

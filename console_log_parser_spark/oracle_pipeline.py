@@ -47,7 +47,9 @@ def routed_rows(sf_dir: str = "/root/testdata/sf0.01") -> tuple:
         cmds = [c for j, c in enumerate(p["cmd_lines"])
                 if (j + 1) not in suppress]
         rows.append({
-            "sink": sink, "source": source,
+            "sink": sink,
+            "route": r["route"] if r else "route_dead_letter",
+            "source": source,
             "severity": p["severity"],
             "n_tok": len(text),
             "n_stripped": len(p["stripped"]),
@@ -132,6 +134,21 @@ def seq_histogram_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     rows = [(s, k, n) for (s, k), n in
             sorted(agg.items(), key=lambda kv: (kv[0][0], -kv[1], kv[0][1]))]
     return _values_sql(["sink", "seq_key", "n"], rows)
+
+
+def source_rollup_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """ROLLUP(route, source): per-source, per-route and grand totals
+    (operators/aggregate.py source_rollup)."""
+    agg: dict[tuple, list] = defaultdict(lambda: [0, 0])
+    for r in routed_rows(sf_dir):
+        for key in ((r["route"], r["source"]), (r["route"], None),
+                    (None, None)):
+            a = agg[key]
+            a[0] += 1
+            a[1] += r["n_tok"]
+    rows = [(route, src, *a) for (route, src), a in sorted(
+        agg.items(), key=lambda kv: (kv[0][0] or "", kv[0][1] or ""))]
+    return _values_sql(["route", "source", "n_rows", "sum_n_tok"], rows)
 
 
 def top_commands_sql(k: int = 5,
