@@ -78,14 +78,15 @@ SEVERITIES = ("DEBUG", "INFO", "WARN", "ERROR")
 # reference's RE_PROMPT (terminalparser.py:28).
 PROMPT_RE = re.compile(
     r"^(?P<user>[a-z][a-z0-9._-]*)@(?P<host>[-a-zA-Z0-9]+)"
-    r":(?P<cwd>~?[-.\w/ ]*)\$ "
+    r":(?P<cwd>~?[-.\w/ ]+|~)\$ "  # ~ only leading, non-empty
+    # (reference cwd grammar `(~?[-.\\w/ ]+|~)`, terminalparser.py:28)
 )
 
 # Two-line MINGW64 prompt: a header line then a bare `$ ` line
 # (terminalparser.py:27 RE_PROMPT_HEADER).
 MINGW_HEADER_RE = re.compile(
     r"^(?P<user>[a-z.][a-z0-9._-]*)@(?P<host>[-a-zA-Z0-9]+)"
-    r" MINGW64 (?P<cwd>~?[-.\w/ ()]*)\s*$"
+    r" MINGW64 (?P<cwd>~?[-.\w/ ()]+|~)\s*$"
 )
 
 # Vim-session span markers (terminalparser.py:33-37: xterm title-stack

@@ -76,8 +76,11 @@ class _VisibleLine:
             self.s = s[:c] + " " * (int(par) if par else 1) + s[c:]
         elif final == "C":
             n = int(par) if par else 1
-            if c + n > len(s):
-                self.s = s + " " * (c + n - len(s))
+            # one space appended per step at/past EOL (reference
+            # terminal2html.py:480-488), NOT a pad of the whole
+            # cursor gap — the two differ when col has drifted past
+            # the end via a prior G
+            self.s = s + " " * max(0, n - max(0, len(s) - c))
             self.col = c + n
         elif final == "D":
             self.col = max(0, c - (int(par) if par else 1))
@@ -119,10 +122,17 @@ def _is_mingw_header(line: str) -> bool:
         i += 1
     if i == h0 or not line[i:].startswith(" MINGW64 "):
         return False
-    for ch in line[i + 9:]:
-        if not (ch.isalnum() or ch in "~-./_ ()\r\t"):
-            return False
-    return True
+    rest = line[i + 9:]
+    # cwd: `~` only leading, non-empty, then only trailing whitespace
+    # (reference header cwd grammar, terminalparser.py:27)
+    j, m = 0, len(rest)
+    if j < m and rest[j] == "~":
+        j += 1
+    while j < m and (rest[j].isalnum() or rest[j] in "-./_ ()"):
+        j += 1
+    if j == 0:
+        return False
+    return all(ch in " \r\t" for ch in rest[j:])
 
 
 def _split_prompt(line: str):
@@ -145,8 +155,15 @@ def _split_prompt(line: str):
     if i == h0 or i >= n or line[i] != ":":
         return None
     i += 1
-    while i < n and (line[i].isalnum() or line[i] in "~-./_ "):
+    # cwd: `~` only as the leading char, at least one char total
+    # (reference cwd grammar `(~?[-.\w/ ]+|~)`, terminalparser.py:28)
+    c0 = i
+    if i < n and line[i] == "~":
         i += 1
+    while i < n and (line[i].isalnum() or line[i] in "-./_ "):
+        i += 1
+    if i == c0:
+        return None
     if i >= n or line[i] != "$" or i + 1 >= n or line[i + 1] != " ":
         return None
     return i + 2, line[i + 2:]

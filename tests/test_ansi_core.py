@@ -42,6 +42,12 @@ def test_engine_matches_oracle_on_synthetic(lo, hi):
     "alice@host:~$ ech\x08\x08\x08echo x\x1b[K\r\n",
     "tab\tand\x0bvt\n",
     "\x1b[22;0;0tvim stuff\x1b[23;0;0t\r\nalice@h:~$ after\r\n",
+    # fuzz-found margins: BS editing INTO the prompt prefix must kill
+    # the prompt match (`~` is only legal as the leading cwd char,
+    # terminalparser.py:28), and cursor-forward at a G-drifted column
+    # appends one space per step (terminal2html.py:480-488)
+    "alice@box:~/w$ \x08\x08\x08~\r\n",
+    "\x1b[5Galice@box:~/w$ \x1b[3C\r\n",
 ])
 def test_edge_cases_engine_eq_oracle(text):
     e = ansi.parse_doc(text)
