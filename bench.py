@@ -136,9 +136,13 @@ def main():
 
     n_warm = 0
     for i in range(6):
-        t = one_run()
+        one_run()
         n_warm += 1
-        if i >= 1 and t <= 1.15 * min(runs[:-1]):
+        # stable = two consecutive runs within 15% of each other
+        # (comparing against the session minimum is too lenient when
+        # the first run is pathological: anything beats it)
+        if i >= 1 and abs(runs[-1] - runs[-2]) <= \
+                0.15 * min(runs[-1], runs[-2]):
             break
     timed = [one_run() for _ in range(3)]
     pipeline_sec = sorted(timed)[1]
