@@ -826,7 +826,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """DuckDB oracle per query. ``sf_dir`` selects the dataset the
+    literal-VALUES oracles (pipeline_*/html_*) are generated for; the
+    driver's contract pins correctness runs at sf0.01, so that is the
+    default, overridable positionally or via SPARK_GRAFT_ORACLE_SF_DIR
+    for local runs at other scales (ADVICE r1: never compare a query
+    at SF x against an oracle generated for SF y)."""
+    sf = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                                  "/root/testdata/sf0.01")
+    from console_log_parser_spark import oracle_html, oracle_pipeline
+    from console_log_parser_spark.operators import multimodal, similarity
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -911,7 +921,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_props_extract": """
             SELECT event_type,
-                   count(k) AS n_k, sum(k) AS sum_k, max(k) AS max_k
+                   count(k) AS n_k,
+                   CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
             FROM (SELECT event_type,
                          CAST(nullif(regexp_extract(props,
                               '"k": ([0-9]+)', 1), '') AS BIGINT) AS k
@@ -920,7 +931,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_sessionize": """
             SELECT user_id,
-                   sum(new_session) AS n_sessions,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM (SELECT user_id,
                          CASE WHEN prev_ts IS NULL
@@ -946,11 +957,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "events_asof_interleave": """
-            SELECT sum(CASE WHEN prev_side IS NOT NULL
+            SELECT CAST(sum(CASE WHEN prev_side IS NOT NULL
                              AND side <> prev_side THEN 1 ELSE 0 END)
-                       AS n_hops,
-                   sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_left,
-                   sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_right
+                        AS BIGINT) AS n_hops,
+                   CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_left,
+                   CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_right
             FROM (SELECT event_id % 2 AS side,
                          lag(event_id % 2) OVER (ORDER BY ts, event_id)
                              AS prev_side
@@ -985,15 +998,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cast_frame_stats": """
             SELECT count(*) AS n_casts,
-                   sum(5 + doc_id % 20) AS total_frames,
+                   CAST(sum(5 + doc_id % 20) AS BIGINT) AS total_frames,
                    round(sum(round((4 + doc_id % 20)
                        * (doc_id % 100 + 1)
                        * CAST(0.05 AS DOUBLE), 4)), 2) AS sum_max_ts,
-                   sum(80 + doc_id % 40) AS sum_width
+                   CAST(sum(80 + doc_id % 40) AS BIGINT) AS sum_width
             FROM documents
         """,
         "cast_retime_hist": """
-            SELECT bucket, sum(n) AS n FROM (
+            SELECT bucket, CAST(sum(n) AS BIGINT) AS n FROM (
                 SELECT CASE
                          WHEN s >= 4.0 THEN CAST(4.0 AS DOUBLE)
                          WHEN s >= 2.0 THEN CAST(2.0 AS DOUBLE)
@@ -1026,18 +1039,18 @@ def oracle_sql() -> dict[str, str]:
                        lag(side) OVER (ORDER BY ts, side, doc_id)
                            AS prev_side
                 FROM fr)
-            SELECT sum(CASE WHEN prev_side IS NOT NULL
+            SELECT CAST(sum(CASE WHEN prev_side IS NOT NULL
                              AND side <> prev_side
-                            THEN 1 ELSE 0 END) AS n_hops,
-                   sum(CASE WHEN side = 'left' THEN 1 ELSE 0 END)
-                       AS n_left,
-                   sum(CASE WHEN side = 'right' THEN 1 ELSE 0 END)
-                       AS n_right
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_hops,
+                   CAST(sum(CASE WHEN side = 'left' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_left,
+                   CAST(sum(CASE WHEN side = 'right' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_right
             FROM flagged
         """,
         "stream_sessionize": """
             SELECT user_id,
-                   sum(new_session) AS n_sessions,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM (SELECT user_id,
                          CASE WHEN prev_ts IS NULL
@@ -1064,19 +1077,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_count": """
             SELECT source, count(*) AS n_docs,
-                   sum(len(string_split(text, ' '))) AS sum_ws_tokens,
-                   sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))
-                       AS sum_bpe_tokens,
-                   sum(n_chars) AS sum_chars
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS sum_ws_tokens,
+                   CAST(sum(len(regexp_extract_all(text,
+                       '\\w+|[^\\w\\s]'))) AS BIGINT) AS sum_bpe_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY source
         """,
         "doc_quality": """
             SELECT lang, count(*) AS n_docs,
-                   sum(len(string_split(text, ' '))) AS sum_words,
-                   sum(len(regexp_extract_all(text, '[^\\w\\s]')))
-                       AS sum_punct,
-                   sum(len(regexp_extract_all(text, '\\b(the|a)\\b')))
-                       AS sum_stop
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS sum_words,
+                   CAST(sum(len(regexp_extract_all(text, '[^\\w\\s]')))
+                        AS BIGINT) AS sum_punct,
+                   CAST(sum(len(regexp_extract_all(text,
+                       '\\b(the|a)\\b'))) AS BIGINT) AS sum_stop
             FROM documents GROUP BY lang
         """,
         "doc_lang_id": """
@@ -1115,7 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_dedup_keep_first": """
             SELECT source, count(*) AS n_kept,
-                   sum(doc_id) AS sum_kept_ids
+                   CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
             FROM (SELECT source, doc_id,
                          row_number() OVER (PARTITION BY md5(text)
                              ORDER BY doc_id) AS rn
@@ -1304,12 +1319,10 @@ def oracle_sql() -> dict[str, str]:
             FROM e, q WHERE vec_id <> 0
             ORDER BY score DESC, vec_id ASC LIMIT 10
         """,
-        "media_metadata_stats": __import__(
-            "console_log_parser_spark.operators.multimodal",
-            fromlist=["oracle_metadata_sql"]).oracle_metadata_sql(),
+        "media_metadata_stats": multimodal.oracle_metadata_sql(),
         "media_frame_sample": """
-            SELECT sum(cnt) AS n_sampled,
-                   sum(cnt * (cnt - 1)) AS sum_idx,
+            SELECT CAST(sum(cnt) AS BIGINT) AS n_sampled,
+                   CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS sum_idx,
                    count(*) AS n_videos
             FROM (SELECT ((2 + doc_id % 6) + 1) // 2 AS cnt
                   FROM documents WHERE doc_id % 3 = 1)
@@ -1319,12 +1332,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 AS INT) AS thumb_cells
             FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id
         """,
-        "ann_lsh_top10": __import__(
-            "console_log_parser_spark.operators.similarity",
-            fromlist=["oracle_lsh_sql"]).oracle_lsh_sql(),
-        "ann_ivf_top10": __import__(
-            "console_log_parser_spark.operators.similarity",
-            fromlist=["oracle_ivf_sql"]).oracle_ivf_sql(),
+        "ann_lsh_top10": similarity.oracle_lsh_sql(),
+        "ann_ivf_top10": similarity.oracle_ivf_sql(),
         "ann_matmul_top10": """
             WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                        FROM embeddings),
@@ -1349,27 +1358,16 @@ def oracle_sql() -> dict[str, str]:
         # plain-Python enrich/route/aggregate re-implementation, and
         # serialized as literal VALUES (oracle_pipeline.py). The driver
         # runs at sf=0.01 per __spark_entry__ contract.
-        "pipeline_severity_hist": __import__(
-            "console_log_parser_spark.oracle_pipeline",
-            fromlist=["severity_histogram_sql"]).severity_histogram_sql(),
-        "pipeline_sink_summary": __import__(
-            "console_log_parser_spark.oracle_pipeline",
-            fromlist=["sink_summary_sql"]).sink_summary_sql(),
-        "pipeline_seq_histogram": __import__(
-            "console_log_parser_spark.oracle_pipeline",
-            fromlist=["seq_histogram_sql"]).seq_histogram_sql(),
-        "pipeline_top_commands": __import__(
-            "console_log_parser_spark.oracle_pipeline",
-            fromlist=["top_commands_sql"]).top_commands_sql(k=5),
+        "pipeline_severity_hist": oracle_pipeline.severity_histogram_sql(sf),
+        "pipeline_sink_summary": oracle_pipeline.sink_summary_sql(sf),
+        "pipeline_seq_histogram": oracle_pipeline.seq_histogram_sql(sf),
+        "pipeline_top_commands": oracle_pipeline.top_commands_sql(k=5,
+                                                                  sf_dir=sf),
         # HTML sink aggregates: second independent renderer (kind-tagged
         # span stack over the char-FSM stream, oracle_html.py) ->
         # literal VALUES
-        "html_render_stats": __import__(
-            "console_log_parser_spark.oracle_html",
-            fromlist=["render_stats_sql"]).render_stats_sql(),
-        "pipeline_source_rollup": __import__(
-            "console_log_parser_spark.oracle_pipeline",
-            fromlist=["source_rollup_sql"]).source_rollup_sql(),
+        "html_render_stats": oracle_html.render_stats_sql(sf),
+        "pipeline_source_rollup": oracle_pipeline.source_rollup_sql(sf),
         "events_type_cube": """
             SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
                    count(*) AS n, round(sum(value), 2) AS sum_value

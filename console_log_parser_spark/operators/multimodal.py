@@ -283,10 +283,12 @@ def oracle_metadata_sql() -> str:
     decode round trip must reproduce from actual bytes."""
     return """
         SELECT media_type, count(*) AS n,
-               sum(width) AS sum_w, sum(height) AS sum_h,
-               sum(channels) AS sum_c, sum(n_frames) AS sum_frames,
-               sum(payload_len) AS sum_payload,
-               sum(payload_len + 16) AS sum_bytes
+               CAST(sum(width) AS BIGINT) AS sum_w,
+               CAST(sum(height) AS BIGINT) AS sum_h,
+               CAST(sum(channels) AS BIGINT) AS sum_c,
+               CAST(sum(n_frames) AS BIGINT) AS sum_frames,
+               CAST(sum(payload_len) AS BIGINT) AS sum_payload,
+               CAST(sum(payload_len + 16) AS BIGINT) AS sum_bytes
         FROM (
             SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
                                    WHEN 1 THEN 'video'
