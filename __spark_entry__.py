@@ -217,13 +217,17 @@ def events_retime_quantize(spark, sf_dir):
 
 def events_asof_interleave(spark, sf_dir):
     """J4 analog (twebber.py:26-105): interleave two time-sorted streams
-    and count the hops (side switches) — union + ordered window instead
-    of a dual-cursor merge."""
+    and count the hops (side switches) — union + range-partitioned lag
+    (operators/windows.py) instead of a dual-cursor merge; no
+    single-partition global sort."""
+    _ship_package(spark)
+    from console_log_parser_spark.operators.windows import (
+        range_partitioned_lag)
     ev = _t(spark, sf_dir, "events")
     side = (F.col("event_id") % 2).alias("side")
-    w = Window.orderBy("ts", "event_id")
-    flagged = (ev.select("ts", "event_id", side)
-               .withColumn("prev_side", F.lag("side").over(w)))
+    flagged = range_partitioned_lag(
+        ev.select("ts", "event_id", side),
+        ["ts", "event_id"], "side", "prev_side")
     return flagged.agg(
         F.sum(F.when(F.col("prev_side").isNotNull()
                      & (F.col("side") != F.col("prev_side")), 1)

@@ -1,0 +1,76 @@
+"""Scale-safe global-order window primitives.
+
+A bare ``Window.orderBy(...)`` (no partitionBy) makes Spark move the
+whole dataset to ONE partition and sort it there — at 100 TB one task
+sorts the world (Spark itself warns ``WindowExec: No Partition
+Defined``). The reference's dual-cursor merge (twebber.py:26-105) is a
+global order too, but it streams; the distributed equivalent here is:
+
+1. ``repartitionByRange`` on the full ordering key — contiguous,
+   balanced, globally ordered ranges (boundaries from reservoir
+   sampling, equal keys never split across partitions);
+2. the lag/window runs WITHIN each range partition (parallel,
+   bounded by partition size, never by data size);
+3. a boundary exchange fixes each partition's first row: the tiny
+   per-partition "last value" table (one row per range partition —
+   cluster-width-sized, data-size-independent) is lagged and joined
+   back broadcast.
+
+The whole thing is one lazy plan, so the range exchange is planned
+once and reused (ReusedExchange) between the window pass and the
+boundary aggregate — no eager driver action, no re-sampling skew.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def range_partitioned_lag(df: DataFrame, order_cols: list[str],
+                          value_col: str, out_col: str,
+                          num_partitions: int | None = None) -> DataFrame:
+    """``lag(value_col) OVER (ORDER BY order_cols)`` with global-order
+    semantics but no single-partition sort.
+
+    Exactly equivalent to the naive global window when the ordering key
+    (the ``order_cols`` tuple) is unique per row and ``value_col`` is
+    non-null. Adds (then drops) helper columns; output schema is the
+    input schema plus ``out_col``.
+    """
+    spark = df.sparkSession
+    n = int(num_partitions
+            or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (df.repartitionByRange(n, *order_cols)
+              .withColumn("_pid", F.spark_partition_id()))
+
+    in_part = Window.partitionBy("_pid").orderBy(*order_cols)
+    with_lag = (ranged
+                .withColumn(out_col, F.lag(value_col).over(in_part))
+                .withColumn("_rn", F.row_number().over(in_part)))
+
+    # last row of each (non-empty) range partition, by the order tuple
+    tail_struct = F.max(F.struct(
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).alias("_v"))).alias("_s")
+    lasts = with_lag.groupBy("_pid").agg(tail_struct)
+    # previous NON-EMPTY partition's last value. ``lasts`` has one row
+    # per range partition — cluster-width-sized, never data-sized — so
+    # a broadcast triangular join (O(P^2) over P = #partitions rows,
+    # trivial up to ~1e5 partitions) beats reintroducing a global-order
+    # window on it; empty partitions are simply absent and get skipped.
+    bounds = (lasts.select(F.col("_pid").alias("_xpid"))
+              .join(F.broadcast(lasts.select(
+                  F.col("_pid").alias("_ypid"), "_s")),
+                  F.col("_ypid") < F.col("_xpid"))
+              .groupBy("_xpid")
+              .agg(F.max_by("_s", "_ypid").alias("_ps"))
+              .select(F.col("_xpid").alias("_pid"),
+                      F.col("_ps._v").alias("_prev_val")))
+
+    fixed = (with_lag
+             .join(F.broadcast(bounds), "_pid", "left")
+             .withColumn(out_col,
+                         F.when(F.col("_rn") == 1, F.col("_prev_val"))
+                         .otherwise(F.col(out_col)))
+             .drop("_pid", "_rn", "_prev_val"))
+    return fixed

@@ -86,15 +86,22 @@ def retime_quantized(fr: DataFrame) -> DataFrame:
 def hops(left: DataFrame, right: DataFrame) -> DataFrame:
     """J4: interleave two frame streams by absolute time; a hop is a
     row whose side differs from the previous row's (twebber.py:95-102).
-    Returns (side, ts, prev_side, is_hop)."""
+    Returns (side, ts, prev_side, is_hop).
+
+    The global merge order is realized with a range-partitioned lag
+    (operators/windows.py) — the reference's dual-cursor merge is a
+    global order too, but a bare ``Window.orderBy`` would sort the
+    whole corpus in ONE task at scale."""
+    from ..operators.windows import range_partitioned_lag
     l_ = left.select(F.lit("left").alias("side"), "doc_id", "ts")
     r_ = right.select(F.lit("right").alias("side"), "doc_id", "ts")
     u = l_.unionByName(r_)
-    w = Window.orderBy("ts", "side", "doc_id")
-    return (u.withColumn("prev_side", F.lag("side").over(w))
-            .withColumn("is_hop",
-                        F.col("prev_side").isNotNull()
-                        & (F.col("side") != F.col("prev_side"))))
+    flagged = range_partitioned_lag(
+        u, ["ts", "side", "doc_id"], "side", "prev_side")
+    return flagged.withColumn(
+        "is_hop",
+        F.col("prev_side").isNotNull()
+        & (F.col("side") != F.col("prev_side")))
 
 
 # --- deterministic synthesis (closed forms shared with SQL oracles) -------

@@ -1,0 +1,105 @@
+"""range_partitioned_lag (operators/windows.py): exact equivalence with
+the naive global-order window, and plan-shape guarantees (no
+unpartitioned WindowExec over fact-sized input — the scale-killer the
+helper exists to remove)."""
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from console_log_parser_spark.operators.windows import range_partitioned_lag
+
+
+def _naive_lag(df, order_cols, value_col, out_col):
+    w = Window.orderBy(*order_cols)
+    return df.withColumn(out_col, F.lag(value_col).over(w))
+
+
+def _rows(df, order_cols, out_col):
+    return sorted(
+        tuple(r) for r in
+        df.select(*order_cols, out_col).collect())
+
+
+@pytest.mark.parametrize("n_rows,n_parts", [(1, 4), (7, 4), (500, 8),
+                                            (500, 1), (500, 64)])
+def test_matches_global_window(spark, n_rows, n_parts):
+    # keys with heavy ties on ts (10 distinct ts values) so range
+    # boundaries land inside tie runs; (ts, k) tuple is unique
+    df = (spark.range(n_rows)
+          .select((F.col("id") % 10).alias("ts"),
+                  F.col("id").alias("k"),
+                  (F.col("id") % 3).alias("v")))
+    got = _rows(range_partitioned_lag(df, ["ts", "k"], "v", "prev",
+                                      num_partitions=n_parts),
+                ["ts", "k"], "prev")
+    want = _rows(_naive_lag(df, ["ts", "k"], "v", "prev"),
+                 ["ts", "k"], "prev")
+    assert got == want
+
+
+def test_string_values_and_gap_partitions(spark):
+    # 3 rows spread over 16 requested partitions -> most range
+    # partitions empty; the boundary lag must skip the gaps
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (5, 2, "b"), (9, 3, "c")], "ts int, k int, v string")
+    got = _rows(range_partitioned_lag(df, ["ts", "k"], "v", "prev",
+                                      num_partitions=16),
+                ["ts", "k"], "prev")
+    assert got == [(1, 1, None), (5, 2, "a"), (9, 3, "b")]
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "ts int, k int, v string")
+    out = range_partitioned_lag(df, ["ts", "k"], "v", "prev")
+    assert out.count() == 0
+    assert "prev" in out.columns
+
+
+def _window_nodes(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [ln for ln in plan.splitlines() if "Window [" in ln
+            or "RunningWindowFunction" in ln]
+
+
+def _has_unpartitioned_window(df) -> bool:
+    # an unpartitioned window spec prints as
+    # windowspecdefinition(<order>...) with no partition columns before
+    # the ordering spec; a partitioned one starts with the partition
+    # expressions. Cheap reliable probe: the optimized plan's Window
+    # nodes, checked for an empty partition spec via the analyzed plan.
+    for node in df._jdf.queryExecution().executedPlan().toString().split(
+            "\n"):
+        if "windowspecdefinition(" not in node:
+            continue
+        inside = node.split("windowspecdefinition(", 1)[1]
+        # partition spec = everything before the first " ASC NULLS" /
+        # " DESC NULLS" ordering marker; unpartitioned specs start
+        # directly with an ordered column
+        head = inside.split(",", 1)[0]
+        if " ASC" in head or " DESC" in head:
+            return True
+    return False
+
+
+def test_helper_plan_has_no_unpartitioned_window(spark):
+    df = (spark.range(100)
+          .select((F.col("id") % 10).alias("ts"), F.col("id").alias("k"),
+                  (F.col("id") % 3).alias("v")))
+    out = range_partitioned_lag(df, ["ts", "k"], "v", "prev")
+    assert not _has_unpartitioned_window(out)
+    # sanity: the naive version IS flagged by the same probe
+    assert _has_unpartitioned_window(_naive_lag(df, ["ts", "k"], "v", "p"))
+
+
+def test_driver_queries_have_no_unpartitioned_window(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    import __spark_entry__ as em
+    for name in ("events_asof_interleave", "cast_hops"):
+        df = em.queries()[name](spark, sf_dir)
+        assert not _has_unpartitioned_window(df), name
