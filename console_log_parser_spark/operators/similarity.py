@@ -113,6 +113,58 @@ def ann_lsh_candidates(emb: DataFrame, query_vec_id: int,
             .select("vec_id").distinct())
 
 
+def cosine_expr(a, b):
+    """Exact cosine similarity between two array<double> columns as a
+    built-in expression (JVM-side, no Python)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def neardup_lsh_pairs(emb: DataFrame, threshold: float = 0.45,
+                      l_tables: int = 32, b_bits: int = 4,
+                      dim: int = 64) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold) via
+    hyperplane-LSH candidate generation + exact-cosine verification —
+    the candidate join is an equi-join on uniform bucket ids
+    (shuffle-partitionable, AQE-splittable), never an O(n^2) cross
+    join of the corpus with itself.
+
+    (L, B) sizing: recall per pair at cosine c is
+    1 - (1 - p^B)^L with p = 1 - arccos(c)/pi. The driver query pins
+    a WEAK threshold (0.45, p ~ 0.65) because the synthetic corpus has
+    no true near-dups (max ~0.51), which forces small bands
+    (B=4) and many tables (L=32) for total recall —
+    tests/test_similarity.py asserts the LSH output equals the exact
+    all-pairs result at sf0.001 and sf0.01. At production thresholds
+    (>= 0.9, p >= 0.86) the same operator runs with B=16..24 where
+    buckets are tiny and the join is genuinely subquadratic."""
+    vecs = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    with_b = lsh_buckets(emb, dim=dim, l_tables=l_tables, b_bits=b_bits)
+    ex = with_b.select("vec_id", F.explode("buckets").alias("bucket"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"))
+            .distinct())
+    va = vecs.select(F.col("vec_id").alias("vec_a"),
+                     F.col("v").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("vec_b"),
+                     F.col("v").alias("vb"))
+    return (cand.join(va, "vec_a").join(vb, "vec_b")
+            .select("vec_a", "vec_b",
+                    F.round(cosine_expr(F.col("va"), F.col("vb")), 4)
+                    .alias("score"))
+            .filter(F.col("score") >= threshold))
+
+
 def cosine_topk_vectorized(emb: DataFrame, query: np.ndarray, k: int = 10,
                            vec_col: str = "embedding") -> DataFrame:
     """Exact brute-force top-k as one matmul per Arrow batch with

@@ -118,3 +118,70 @@ def test_minhash_plan_has_no_python_udf(spark, docs):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan  # pure built-in expressions
+
+
+def test_ngram_prefix_jaccard_equals_bruteforce(spark):
+    """Prefix-filter completeness on adversarial data: hot shingles
+    (shared boilerplate in EVERY doc) + true near-dup pairs + unique
+    tails. The prefix join must return exactly the brute-force pairs."""
+    from console_log_parser_spark.operators import dedup
+    boiler = "the quick brown fox jumps over the lazy dog again and"
+    rows = []
+    for i in range(40):
+        uniq = " ".join(f"tok{i}_{j}" for j in range(10))
+        rows.append((i, f"{boiler} {uniq}"))
+    # near-dup pairs: 100/101 and 102/103 differ by one trailing word
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lam mu nu xi omicron pi rho sigma tau upsilon"
+    rows += [(100, base + " endone"), (101, base + " endtwo"),
+             (102, boiler + " " + base), (103, boiler + " " + base)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): (r["common"], r["size_a"], r["size_b"])
+           for r in dedup.ngram_jaccard_pairs_prefix(docs).collect()}
+
+    # brute force in python
+    def sh3(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)} \
+            if len(ws) >= 3 else set()
+    sets = {i: sh3(t) for i, t in rows}
+    want = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            c = len(sets[a] & sets[b])
+            if 2 * c >= len(sets[a]) + len(sets[b]) - c:
+                want[(a, b)] = (c, len(sets[a]), len(sets[b]))
+    assert got == want
+    assert (100, 101) in got and (102, 103) in got
+
+
+def test_ngram_prefix_matches_old_selfjoin_at_sf(spark):
+    import os
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    from console_log_parser_spark.operators import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    got = {(r["doc_a"], r["doc_b"], r["common"], r["size_a"], r["size_b"])
+           for r in dedup.ngram_jaccard_pairs_prefix(docs).collect()}
+    # naive reference: unbounded shingle self-join (test-only)
+    from pyspark.sql import functions as F
+    sh = dedup.shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("size_b"))
+    want = {(r["doc_a"], r["doc_b"], r["common"], r["size_a"], r["size_b"])
+            for r in (pairs.join(sa, "doc_a").join(sb, "doc_b")
+                      .filter(F.col("common") * 2 >= F.col("size_a")
+                              + F.col("size_b") - F.col("common"))
+                      ).collect()}
+    assert got == want

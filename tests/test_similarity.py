@@ -114,3 +114,48 @@ def test_matmul_topk_equals_exact(emb, spark):
     mat = em.ann_matmul_top10(spark, SF_DIR).collect()
     assert [(r["vec_id"], r["score"]) for r in brute] == \
         [(r["vec_id"], r["score"]) for r in mat]
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_neardup_lsh_total_recall_vs_exact(spark, sf_dir):
+    """The bucketed near-dup path must reproduce the EXACT all-pairs
+    result at the driver threshold — total recall of the (L=32, B=4)
+    config on this corpus is a correctness requirement, not a hope
+    (the driver's oracle is the exact SQL)."""
+    import os
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    import pyarrow.parquet as pq
+
+    from console_log_parser_spark.operators import similarity as sim
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {(r["vec_a"], r["vec_b"]): r["score"]
+           for r in sim.neardup_lsh_pairs(emb, threshold=0.45,
+                                          l_tables=32, b_bits=4).collect()}
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    mat = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    sims = np.round((mat @ mat.T) / np.outer(norms, norms), 4)
+    want = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if sims[i, j] >= 0.45:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                want[(a, b)] = sims[i, j]
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_neardup_lsh_plan_is_bucketed_not_crossjoin(spark, emb):
+    """No O(n^2) join of the corpus with itself: the candidate join
+    must be an equi-join (hash/sort-merge on bucket), never a
+    BroadcastNestedLoopJoin / CartesianProduct over the vectors."""
+    from console_log_parser_spark.operators import similarity as sim
+    plan = sim.neardup_lsh_pairs(emb)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
