@@ -738,6 +738,46 @@ def pipeline_top_commands(spark, sf_dir):
     return agg_ops.top_commands(_routed(spark, sf_dir), k=5)
 
 
+def pipeline_app_mode(spark, sf_dir):
+    """P8/F2/F5 accounting per route: app-mode spans (DECCKM+DECKPAM
+    adjacency, terminalparser.py:55-77), device-status sequences
+    (DSR/DA, terminal2html.py:639-644), and edit-bound warnings
+    (terminal2html.py:459-520 prefix guards)."""
+    routed = _routed(spark, sf_dir)
+    return (routed.groupBy("route")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_app_mode").alias("sum_app_mode"),
+                 F.sum("n_devstat").alias("sum_devstat"),
+                 F.sum("n_edit_warnings").alias("sum_edit_warnings")))
+
+
+def pipeline_typed_events(spark, sf_dir):
+    """SURVEY §1.3 typed per-event record column
+    (array<struct<kind,param,final,pos>>, vtparser.py:644-694 dispatch
+    stream) + the F2 device-status discard filter applied to it:
+    per (kind, final) total events and events surviving the filter."""
+    _ship_package(spark)
+    from console_log_parser_spark.operators.parse import (
+        device_status_discard, parse_stage, synth_tokens_stage,
+        typed_events_extractor)
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id_num"))
+    logs = synth_tokens_stage(ids)
+    parsed = parse_stage(logs, extractors=(typed_events_extractor(),))
+    total = (parsed.select(F.explode("events").alias("e"))
+             .groupBy(F.col("e.kind").alias("kind"),
+                      F.col("e.final").alias("final"))
+             .agg(F.count("*").alias("n_events")))
+    kept = (parsed.select(F.explode(
+        device_status_discard(F.col("events"))).alias("e"))
+        .groupBy(F.col("e.kind").alias("kind"),
+                 F.col("e.final").alias("final"))
+        .agg(F.count("*").alias("n_kept")))
+    return (total.join(kept, ["kind", "final"], "left")
+            .select("kind", "final", "n_events",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+
+
 def pipeline_source_rollup(spark, sf_dir):
     """ROLLUP(route, source) in one pass — per-source, per-route and
     grand totals (A1-A12 generalization; partial+final hash agg)."""
@@ -801,6 +841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sink_summary": pipeline_sink_summary,
         "pipeline_seq_histogram": pipeline_seq_histogram,
         "pipeline_top_commands": pipeline_top_commands,
+        "pipeline_app_mode": pipeline_app_mode,
+        "pipeline_typed_events": pipeline_typed_events,
         "pipeline_source_rollup": pipeline_source_rollup,
         "events_type_cube": events_type_cube,
     }
@@ -1347,6 +1389,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # span stack over the char-FSM stream, oracle_html.py) ->
         # literal VALUES
         "html_render_stats": oracle_html.render_stats_sql(sf),
+        "pipeline_app_mode": oracle_pipeline.app_mode_sql(sf),
+        "pipeline_typed_events": oracle_pipeline.typed_events_sql(sf),
         "pipeline_source_rollup": oracle_pipeline.source_rollup_sql(sf),
         "events_type_cube": """
             SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,

@@ -127,20 +127,41 @@ def gen_doc(doc_index: int, seed: int = 42) -> tuple[str, dict]:
     clean_cmds: list[str] = []
     sev_counts = {s: 0 for s in _SEVS}
     n_vim = 0
+    n_app_mode = 0
     prompt_count = 0
     for b in range(n_blocks):
         cwd = rng.choice(_CWDS)
         parts.append(_sgr_prompt(user, host, cwd))
         prompt_count += 1
-        if rng.random() < 0.12:  # vim session block
+        if rng.random() < 0.12:  # vim session block (enters app mode:
+            # CSI ?1h + adjacent ESC = like real vim, P8)
             cmd = "vim notes.txt"
             parts.append(cmd + "\r\n")
             clean_cmds.append(cmd)
             n_vim += 1
-            parts.append(VIM_START_MARK + "\x1b[1;40r\x1b[2J\x1b[H"
+            n_app_mode += 1
+            parts.append("\x1b[?1h\x1b=" + VIM_START_MARK
+                         + "\x1b[1;40r\x1b[2J\x1b[H"
                          + "~\r\n" * rng.randrange(1, 4))
             parts.append("\x1b[2;1H\"notes.txt\" 3L, 42C\r\n")
             parts.append(VIM_END_MARK + "\x1b[?1l\x1b>\r\n")
+            continue
+        if rng.random() < 0.10:  # full-screen pager block (app mode)
+            cmd = "man ls"
+            parts.append(cmd + "\r\n")
+            clean_cmds.append(cmd)
+            near_miss = rng.random() < 0.25
+            if near_miss:
+                # DECCKM set NOT adjacent to DECKPAM -> must not count
+                parts.append("\x1b[?1h.\x1b=\x1b[2J")
+            else:
+                n_app_mode += 1
+                parts.append("\x1b[?1h\x1b=\x1b[2J")
+            for _ in range(rng.randrange(1, 4)):
+                parts.append(" ".join(
+                    rng.choice(_WORDS)
+                    for _ in range(rng.randrange(3, 8))) + "\r\n")
+            parts.append("\x1b[?1l\x1b>\r\n")
             continue
         cmd = rng.choice(_CMDS)
         raw, clean = _edited_keystrokes(rng, cmd)
@@ -148,12 +169,26 @@ def gen_doc(doc_index: int, seed: int = 42) -> tuple[str, dict]:
         clean_cmds.append(clean)
         n_out = rng.randrange(0, 7)
         for _ in range(n_out):
-            if rng.random() < 0.55:
+            r = rng.random()
+            if r < 0.55:
                 line = _log_line(rng, doc_index)
                 sev_counts[line.split(" ")[1]] += 1
+            elif r < 0.62:  # progress-redraw lines exercising the F5
+                # edit-bound warnings (counted: the raw line has '$')
+                style = rng.randrange(3)
+                pct = rng.randrange(100)
+                if style == 0:   # CSI 2K full-line erase (1 warning)
+                    line = f"\r\x1b[2K$ fetch {pct}% complete"
+                elif style == 1:  # BS clamped at col 0 (2 warnings)
+                    line = f"\x08\x08$ retry {pct}"
+                else:            # CSI D clamped at col 0 (1 warning)
+                    line = f"\x1b[{rng.randrange(3, 9)}D$ sync {pct}"
             else:
                 line = " ".join(rng.choice(_WORDS)
                                 for _ in range(rng.randrange(2, 10)))
+            if rng.random() < 0.06:  # device-status probes (F2): the
+                # shell asks, the terminal answers; counted + dropped
+                line += "\x1b[6n" if rng.random() < 0.5 else "\x1b[0c"
             parts.append(line + "\r\n")
     # closing prompt with empty command
     parts.append(_sgr_prompt(user, host, rng.choice(_CWDS)))
@@ -167,6 +202,7 @@ def gen_doc(doc_index: int, seed: int = 42) -> tuple[str, dict]:
         "cmd_lines": clean_cmds,
         "sev_counts": sev_counts,
         "n_vim": n_vim,
+        "n_app_mode": n_app_mode,
         "prompt_count": prompt_count,
     }
     return text, expected

@@ -143,18 +143,37 @@ def classify(text: str) -> tuple[Counter, int, int, int, int, int, int]:
     """One regex pass -> (seq histogram, n_csi, n_osc, n_esc, n_dcs,
     n_sgr, n_c1)."""
     _stripped, hist, counters = classify_and_strip(text, want_strip=False)
-    return (hist, *counters)
+    return (hist, *counters[:6])
 
 
 def classify_and_strip(
         text: str, want_strip: bool = True
-) -> tuple[str, Counter, tuple[int, int, int, int, int, int]]:
-    """ONE finditer pass over the document producing both the
-    escape-stripped text and the event histogram/counters (the hot
-    path of the parse stage: a separate ``ANSI_RE.sub`` pass costs
-    ~25% of parse time at scale)."""
+) -> tuple[str, Counter, tuple[int, int, int, int, int, int, int, int]]:
+    """ONE finditer pass over the document producing the escape-stripped
+    text, the event histogram and the counters
+    ``(n_csi, n_osc, n_esc, n_dcs, n_sgr, n_c1, n_app_mode, n_devstat)``
+    (a separate ``ANSI_RE.sub`` pass costs ~25% of parse time at scale).
+
+    n_app_mode — reference P8 (terminalparser.py:55-77, 306-319,
+    355-361): an app-mode span OPENS when ``ESC =`` (DECKPAM, no
+    intermediates) begins exactly where a ``CSI ? 1 h`` (DECCKM set)
+    ended — the reference's ``ckm_set_pos == pos - 2`` adjacency — and
+    CLOSES on the adjacent ``CSI ? 1 l`` + ``ESC >`` pair while open.
+    Positions here are absolute document offsets where the reference
+    uses per-line offsets; the only behavioral difference is that the
+    reference can false-positive when offsets coincide across a line
+    break, which true adjacency never does.
+
+    n_devstat — reference F2 (terminal2html.py:639-644): sequences
+    that would trigger a terminal response — CSI final ``n`` (DSR),
+    or final ``c`` with params '' / '0' (DA) — counted so the discard
+    predicate is an accounted column, not a silent drop.
+    """
     hist: Counter = Counter()
     n_csi = n_osc = n_esc = n_dcs = n_sgr = n_c1 = 0
+    n_app_mode = n_devstat = 0
+    ckm_set = ckm_reset = -10  # end offset of the last DECCKM set/reset
+    app_active = False
     parts: list[str] = []
     last = 0
     key_cache = _SEQ_KEY_CACHE  # escape vocab is tiny; memoize seq_key
@@ -177,14 +196,38 @@ def classify_and_strip(
         k0 = key[0]
         if k0 == "C" and key[1] == "S":  # CSI:
             n_csi += 1
-            if key.endswith("m"):
+            f = key[-1]
+            if f == "m":
                 n_sgr += 1
+            elif f == "h":
+                # DECCKM set: CSI ? 1 h, no intermediates (exact forms;
+                # the histogram key elides intermediate bytes)
+                if g == "\x1b[?1h" or g == "\x9b?1h":
+                    ckm_set = m.end()
+            elif f == "l":
+                if g == "\x1b[?1l" or g == "\x9b?1l":
+                    ckm_reset = m.end()
+            elif f == "n":
+                n_devstat += 1
+            elif f == "c":
+                body = key[4:-1]
+                if body[:1] in ("<", "=", ">", "?"):
+                    body = body[1:]
+                if body in ("", "0"):
+                    n_devstat += 1
         elif k0 == "O":
             n_osc += 1
         elif k0 == "D":
             n_dcs += 1
         elif k0 == "E":
             n_esc += 1
+            if key == "ESC:=":
+                if ckm_set == m.start() and not app_active:
+                    app_active = True
+                    n_app_mode += 1
+            elif key == "ESC:>":
+                if ckm_reset == m.start() and app_active:
+                    app_active = False
         else:
             n_c1 += 1
     if want_strip and last < len(text):
@@ -192,7 +235,8 @@ def classify_and_strip(
     stripped = "".join(parts) if want_strip else ""
     if want_strip and last == 0:
         stripped = text  # no escapes at all: zero-copy
-    return stripped, hist, (n_csi, n_osc, n_esc, n_dcs, n_sgr, n_c1)
+    return stripped, hist, (n_csi, n_osc, n_esc, n_dcs, n_sgr, n_c1,
+                            n_app_mode, n_devstat)
 
 
 class LineBuilder:
@@ -202,13 +246,21 @@ class LineBuilder:
     LineBuilder (terminal2html.py:431-554), simplified: SGR is always
     discarded (ignore_SGR=True path), so the line holds only characters
     and cursor arithmetic never skips style markers.
+
+    Edit-bound accounting (reference F5, terminal2html.py:459-461,
+    476-478, 502-520: the prefix-guarded builder raises/warns when an
+    op would mutate the prompt prefix): this simplified builder has no
+    prefix, so ``warnings`` counts the boundary analogs — BS clamped at
+    column 0, ``CSI D`` clamped at column 0, and ``CSI 1K``/``CSI 2K``
+    (forms the reference refuses with NotImplementedError).
     """
 
-    __slots__ = ("line", "pos")
+    __slots__ = ("line", "pos", "warnings")
 
     def __init__(self) -> None:
         self.line: list[str] = []
         self.pos = 0
+        self.warnings = 0
 
     def text(self, s: str) -> None:
         line, pos = self.line, self.pos
@@ -234,6 +286,8 @@ class LineBuilder:
             elif o == 0x08:  # BS
                 if pos > 0:
                     pos -= 1
+                else:
+                    self.warnings += 1  # F5: clamped at line start
             elif o == 0x0D:  # CR
                 pos = 0
             # LF never reaches here: callers split on LF. Other C0 dropped.
@@ -253,13 +307,17 @@ class LineBuilder:
             self.pos = pos
         elif final == "D":  # cursor backward
             n = int(par) if par else 1
+            if n > pos:
+                self.warnings += 1  # F5: clamped at line start
             self.pos = max(0, pos - n)
         elif final == "K":  # erase in line
             if par in ("", "0"):
                 del line[pos:]
             elif par == "1":
+                self.warnings += 1  # F5: reference NotImplementedError
                 line[: pos + 1] = [" "] * min(pos + 1, len(line))
             elif par == "2":
+                self.warnings += 1  # F5: reference NotImplementedError
                 line[:] = [" "] * len(line)
         elif final == "P":  # delete characters
             n = int(par) if par else 1
@@ -278,8 +336,9 @@ class LineBuilder:
         return "".join(self.line)
 
 
-def build_line(raw_line: str) -> str:
-    """Reconstruct the visible text of one raw (LF-free) line."""
+def build_line_counted(raw_line: str) -> tuple[str, int]:
+    """Reconstruct the visible text of one raw (LF-free) line; also
+    return the edit-bound warning count (F5 accounting)."""
     lb = LineBuilder()
     last = 0
     for m in ANSI_RE.finditer(raw_line):
@@ -292,7 +351,12 @@ def build_line(raw_line: str) -> str:
         last = m.end()
     if last < len(raw_line):
         lb.text(raw_line[last:])
-    return lb.result()
+    return lb.result(), lb.warnings
+
+
+def build_line(raw_line: str) -> str:
+    """Reconstruct the visible text of one raw (LF-free) line."""
+    return build_line_counted(raw_line)[0]
 
 
 def parse_doc(text: str) -> dict:
@@ -301,8 +365,8 @@ def parse_doc(text: str) -> dict:
     This is the per-document core the Arrow stage vectorizes over; it is
     pure compiled-regex + the LineBuilder replay on prompt lines only.
     """
-    stripped, hist, (n_csi, n_osc, n_esc, n_dcs, n_sgr, n_c1) = \
-        classify_and_strip(text)
+    stripped, hist, (n_csi, n_osc, n_esc, n_dcs, n_sgr, n_c1,
+                     n_app_mode, n_devstat) = classify_and_strip(text)
 
     sev_counts = Counter(SEVERITY_RE.findall(stripped))
     severity = None
@@ -319,6 +383,7 @@ def parse_doc(text: str) -> dict:
     in_vim = False
     cmd_lines: list[str] = []
     prompt_count = 0
+    n_edit_warnings = 0
     mingw_imminent = False
     osc_armed = False
     for rl in raw_lines:
@@ -347,13 +412,19 @@ def parse_doc(text: str) -> dict:
             rl = rl[rl.index(VIM_END_MARK) + len(VIM_END_MARK):]
         was_imminent, mingw_imminent = mingw_imminent, False
         was_armed, osc_armed = osc_armed, had_osc
+        built = None
+        bwarn = 0
         if "MINGW64" in rl and was_armed:
-            if MINGW_HEADER_RE.match(build_line(rl)):
+            built, bwarn = build_line_counted(rl)
+            if MINGW_HEADER_RE.match(built):
+                n_edit_warnings += bwarn
                 mingw_imminent = True
                 continue
         if "$" not in rl:
             continue  # fast path: no prompt sigil at all
-        built = build_line(rl)
+        if built is None:
+            built, bwarn = build_line_counted(rl)
+        n_edit_warnings += bwarn
         if was_imminent and built.startswith("$"):
             prompt_count += 1
             cmd = built[2:] if built.startswith("$ ") else ""
@@ -388,4 +459,7 @@ def parse_doc(text: str) -> dict:
         "cmd_lines": cmd_lines,
         "n_vim": n_vim,
         "n_unparsed": len(UNPARSED_RE.findall(stripped)),
+        "n_app_mode": n_app_mode,
+        "n_devstat": n_devstat,
+        "n_edit_warnings": n_edit_warnings,
     }

@@ -23,6 +23,9 @@ def sink_summary(routed: DataFrame) -> DataFrame:
                  F.sum("n_cmd_routed").alias("sum_cmds"),
                  F.sum("n_vim").alias("sum_vim"),
                  F.sum("n_unparsed").alias("sum_unparsed"),
+                 F.sum("n_app_mode").alias("sum_app_mode"),
+                 F.sum("n_devstat").alias("sum_devstat"),
+                 F.sum("n_edit_warnings").alias("sum_edit_warnings"),
                  F.countDistinct("source").alias("n_sources"),
                  F.min("ts_min").alias("ts_min"),
                  F.max("ts_max").alias("ts_max")))

@@ -32,7 +32,7 @@ PARSED_SCHEMA_DDL = (
     "severity string, n_debug int, n_info int, n_warn int, n_error int, "
     "ts_min string, ts_max string, "
     "prompt_count int, cmd_lines array<string>, n_cmd int, n_vim int, "
-    "n_unparsed int"
+    "n_unparsed int, n_app_mode int, n_devstat int, n_edit_warnings int"
 )
 
 _ARROW_SCHEMA = pa.schema([
@@ -61,6 +61,9 @@ _ARROW_SCHEMA = pa.schema([
     ("n_cmd", pa.int32()),
     ("n_vim", pa.int32()),
     ("n_unparsed", pa.int32()),
+    ("n_app_mode", pa.int32()),
+    ("n_devstat", pa.int32()),
+    ("n_edit_warnings", pa.int32()),
 ])
 
 
@@ -144,6 +147,9 @@ def parse_batch(batch: pa.RecordBatch,
         pa.array([len(p["cmd_lines"]) for p in parsed], pa.int32()),
         i32("n_vim"),
         i32("n_unparsed"),
+        i32("n_app_mode"),
+        i32("n_devstat"),
+        i32("n_edit_warnings"),
     ]
     schema = _ARROW_SCHEMA
     if extractors:
@@ -155,6 +161,70 @@ def parse_batch(batch: pa.RecordBatch,
         schema = pa.schema(fields)
     assert n == len(arrays[0])
     return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+
+def typed_events_extractor() -> Extractor:
+    """SURVEY §1.3's typed per-event record column,
+    ``events: array<struct<kind,param,final,pos>>`` — the engine-side
+    analog of the reference's per-event dispatch stream
+    (vtparser.py:644-694). Opt-in via ``parse_stage(extractors=...)``
+    so the hot path pays nothing when positional analysis isn't
+    requested; computed in the SAME Arrow batch loop (no extra stage).
+
+    kind: CSI/OSC/ESC/DCS/C1; param: private flag + parameter string
+    (CSI), selector (OSC), intermediates (ESC), hex code (C1);
+    final: the dispatch character; pos: absolute char offset of the
+    sequence start in the decoded document.
+    """
+    from ..functions import ansi
+
+    pa_type = pa.list_(pa.struct([
+        ("kind", pa.string()), ("param", pa.string()),
+        ("final", pa.string()), ("pos", pa.int32())]))
+
+    def fn(text: str, _parsed: dict) -> list:
+        out = []
+        for m in ansi.ANSI_RE.finditer(text):
+            key = ansi.seq_key(m.group(0))
+            if key is None:
+                continue  # truncated at EOD: never dispatched
+            kind, _, rest = key.partition(":")
+            if kind == "CSI" or kind == "ESC":
+                param, final = rest[:-1], rest[-1]
+            elif kind == "OSC":
+                param, final = rest, ""
+            elif kind == "C1":
+                param, final = rest, ""
+            else:  # DCS
+                param, final = "", ""
+            out.append({"kind": kind, "param": param, "final": final,
+                        "pos": m.start()})
+        return out
+
+    return Extractor(
+        "events",
+        "array<struct<kind:string,param:string,final:string,pos:int>>",
+        pa_type, fn)
+
+
+def device_status_discard(events_col):
+    """F2 discard predicate (terminal2html.py:639-644) as a built-in
+    array filter over the typed event column: drop CSI DSR (final
+    ``n``) and DA (final ``c`` with params ''/'0')."""
+    from pyspark.sql import functions as F
+
+    def keep(e):
+        par = e["param"]
+        # strip a leading private flag before the DA param test
+        body = F.when(
+            F.substring(par, 1, 1).isin("<", "=", ">", "?"),
+            F.substring(par, 2, 2147483647)).otherwise(par)
+        is_dsr = (e["kind"] == "CSI") & (e["final"] == "n")
+        is_da = ((e["kind"] == "CSI") & (e["final"] == "c")
+                 & body.isin("", "0"))
+        return ~(is_dsr | is_da)
+
+    return F.filter(events_col, keep)
 
 
 def parse_stage(df: DataFrame, extractors: tuple = ()) -> DataFrame:

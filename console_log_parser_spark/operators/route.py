@@ -25,7 +25,7 @@ ROUTED_COLUMNS = [
     "n_dcs", "n_sgr", "n_c1", "seq_hist", "severity",
     "n_debug", "n_info", "n_warn", "n_error", "ts_min", "ts_max",
     "prompt_count", "cmd_lines_routed", "n_cmd_routed", "n_vim",
-    "n_unparsed",
+    "n_unparsed", "n_app_mode", "n_devstat", "n_edit_warnings",
 ]
 
 

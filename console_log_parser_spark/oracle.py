@@ -50,11 +50,14 @@ class _Event:
 
 class _VisibleLine:
     """String-based editing replay (intentionally not the engine's
-    list-based LineBuilder)."""
+    list-based LineBuilder). ``warn`` counts edit-bound violations
+    (F5): BS clamped at column 0, CSI D clamped at column 0, and the
+    CSI 1K / 2K forms the reference refuses."""
 
     def __init__(self) -> None:
         self.s = ""
         self.col = 0
+        self.warn = 0
 
     def put(self, ch: str) -> None:
         o = ord(ch)
@@ -65,7 +68,10 @@ class _VisibleLine:
                 self.s = self.s[: self.col] + ch + self.s[self.col + 1:]
             self.col += 1
         elif o == 0x08:
-            self.col = max(0, self.col - 1)
+            if self.col > 0:
+                self.col -= 1
+            else:
+                self.warn += 1
         elif o == 0x0D:
             self.col = 0
 
@@ -83,14 +89,19 @@ class _VisibleLine:
             self.s = s + " " * max(0, n - max(0, len(s) - c))
             self.col = c + n
         elif final == "D":
-            self.col = max(0, c - (int(par) if par else 1))
+            nd = int(par) if par else 1
+            if nd > c:
+                self.warn += 1
+            self.col = max(0, c - nd)
         elif final == "K":
             if par in ("", "0"):
                 self.s = s[:c]
             elif par == "1":
+                self.warn += 1
                 k = min(c + 1, len(s))
                 self.s = " " * k + s[k:]
             elif par == "2":
+                self.warn += 1
                 self.s = " " * len(s)
         elif final == "P":
             n = int(par) if par else 1
@@ -190,6 +201,16 @@ class OracleParser:
         self.osc_armed = False
         self.line_had_osc0 = False
         self._osc_escape_pending = False
+        # P8 app-mode FSM (absolute char offsets; see functions/ansi.py
+        # classify_and_strip docstring for the reference mapping)
+        self._nread = 0
+        self._ckm_set = -10
+        self._ckm_reset = -10
+        self._app_active = False
+        self.n_app_mode = 0
+        # F5 edit-warning accounting over replay-qualifying lines
+        self.n_edit_warnings = 0
+        self._rawline: list[str] = []
 
     # --- sequence layer -------------------------------------------------
     def feed(self, text: str) -> None:
@@ -198,6 +219,8 @@ class OracleParser:
         self._eof()
 
     def _input(self, ch: str) -> None:
+        self._nread += 1
+        self._rawline.append(ch)
         st = self.state
         if st == GROUND:
             self._ground(ch)
@@ -243,6 +266,18 @@ class OracleParser:
             self.buf += ch
         elif 0x30 <= o <= 0x7E:
             self.events.append(_Event("ESC", interm=self.buf, final=ch))
+            if not self.buf:
+                # DECKPAM/DECKPNM adjacency: this ESC started at
+                # _nread - 2, exactly where the DECCKM set/reset ended
+                if ch == "=":
+                    if self._ckm_set == self._nread - 2 \
+                            and not self._app_active:
+                        self._app_active = True
+                        self.n_app_mode += 1
+                elif ch == ">":
+                    if self._ckm_reset == self._nread - 2 \
+                            and self._app_active:
+                        self._app_active = False
             self.state = GROUND
         else:
             # invalid: the ESC did not begin a sequence; ESC and any
@@ -264,6 +299,11 @@ class OracleParser:
             ev = _Event("CSI", priv=self.priv, par=self.par,
                         interm=self.interm, final=ch)
             self.events.append(ev)
+            if ev.priv == "?" and ev.par == "1" and ev.interm == "":
+                if ch == "h":
+                    self._ckm_set = self._nread
+                elif ch == "l":
+                    self._ckm_reset = self._nread
             self.state = GROUND
             self._csi_event(ev)
         elif ch in "<=>?" and not self.par and not self.interm \
@@ -342,6 +382,7 @@ class OracleParser:
                 self.in_vim = True
                 self.n_vim += 1
                 self.vline = _VisibleLine()
+                self._rawline = []  # engine skips the pre-marker text
                 self.mingw_imminent = False
                 self.osc_armed = False
                 self.line_had_osc0 = False
@@ -351,10 +392,13 @@ class OracleParser:
                 # (RE_PROMPT_INLINE): remainder is a fresh visible line
                 self.in_vim = False
                 self.vline = _VisibleLine()
+                self._rawline = []  # engine replays only the remainder
         elif not self.in_vim:
             self.vline.csi(ev.par, ev.final)
 
     def _finish_line(self, final: bool = False) -> None:
+        raw = "".join(self._rawline)
+        self._rawline = []
         if final and not self.vline.s:
             return
         if self.in_vim:
@@ -365,6 +409,13 @@ class OracleParser:
         was_imminent, self.mingw_imminent = self.mingw_imminent, False
         was_armed, self.osc_armed = self.osc_armed, self.line_had_osc0
         self.line_had_osc0 = False
+        # F5 warning accounting mirrors the engine's replay domain:
+        # lines it builds AND counts — any line whose RAW text contains
+        # '$', or a MINGW64 header line while OSC-armed that matched
+        is_mingw = ("MINGW64" in raw and was_armed
+                    and _is_mingw_header(line))
+        if "$" in raw or is_mingw:
+            self.n_edit_warnings += self.vline.warn
         if was_armed and _is_mingw_header(line):
             self.mingw_imminent = True
         elif was_imminent and line.startswith("$"):
@@ -390,12 +441,17 @@ def oracle_parse_doc(text: str) -> dict:
     hist: dict[str, int] = {}
     n = {"CSI": 0, "OSC": 0, "ESC": 0, "DCS": 0, "C1": 0}
     n_sgr = 0
+    n_devstat = 0
     for ev in p.events:
         k = ev.key()
         hist[k] = hist.get(k, 0) + 1
         n[ev.kind] += 1
-        if ev.kind == "CSI" and ev.final == "m":
-            n_sgr += 1
+        if ev.kind == "CSI":
+            if ev.final == "m":
+                n_sgr += 1
+            elif ev.final == "n" or (ev.final == "c"
+                                     and ev.par in ("", "0")):
+                n_devstat += 1  # F2: would trigger a terminal response
 
     sev_counts = {s: 0 for s in _SEVERITIES}
     i = 0
@@ -432,6 +488,9 @@ def oracle_parse_doc(text: str) -> dict:
         "n_vim": p.n_vim,
         "n_unparsed": sum(1 for c in stripped
                           if c == "\x1b" or c == "\ufffd"),
+        "n_app_mode": p.n_app_mode,
+        "n_devstat": n_devstat,
+        "n_edit_warnings": p.n_edit_warnings,
     }
 
 

@@ -58,6 +58,9 @@ def routed_rows(sf_dir: str = "/root/testdata/sf0.01") -> tuple:
             "n_cmd_routed": len(cmds),
             "n_vim": p["n_vim"],
             "n_unparsed": p["n_unparsed"],
+            "n_app_mode": p["n_app_mode"],
+            "n_devstat": p["n_devstat"],
+            "n_edit_warnings": p["n_edit_warnings"],
             "n_debug": p["n_debug"], "n_info": p["n_info"],
             "n_warn": p["n_warn"], "n_error": p["n_error"],
             "ts_min": p["ts_min"], "ts_max": p["ts_max"],
@@ -116,13 +119,17 @@ def sink_summary_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
             sum(r["n_cmd_routed"] for r in rs),
             sum(r["n_vim"] for r in rs),
             sum(r["n_unparsed"] for r in rs),
+            sum(r["n_app_mode"] for r in rs),
+            sum(r["n_devstat"] for r in rs),
+            sum(r["n_edit_warnings"] for r in rs),
             len({r["source"] for r in rs}),
             min(ts_mins) if ts_mins else None,
             max(ts_maxs) if ts_maxs else None,
         ))
     return _values_sql(
         ["sink", "n_rows", "sum_n_tok", "sum_n_stripped", "sum_n_events",
-         "sum_prompts", "sum_cmds", "sum_vim", "sum_unparsed", "n_sources",
+         "sum_prompts", "sum_cmds", "sum_vim", "sum_unparsed",
+         "sum_app_mode", "sum_devstat", "sum_edit_warnings", "n_sources",
          "ts_min", "ts_max"], rows)
 
 
@@ -149,6 +156,49 @@ def source_rollup_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     rows = [(route, src, *a) for (route, src), a in sorted(
         agg.items(), key=lambda kv: (kv[0][0] or "", kv[0][1] or ""))]
     return _values_sql(["route", "source", "n_rows", "sum_n_tok"], rows)
+
+
+def app_mode_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Per-route P8/F2/F5 accounting: app-mode spans, device-status
+    sequences, edit-bound warnings."""
+    agg: dict[str, list] = defaultdict(lambda: [0, 0, 0, 0])
+    for r in routed_rows(sf_dir):
+        a = agg[r["route"]]
+        a[0] += 1
+        a[1] += r["n_app_mode"]
+        a[2] += r["n_devstat"]
+        a[3] += r["n_edit_warnings"]
+    rows = [(route, *a) for route, a in sorted(agg.items())]
+    return _values_sql(
+        ["route", "n_docs", "sum_app_mode", "sum_devstat",
+         "sum_edit_warnings"], rows)
+
+
+def typed_events_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Per (kind, final) counts over the typed event stream, plus the
+    F2 device-status discard accounting (kept = events surviving the
+    DSR/DA filter)."""
+    from .oracle import OracleParser
+    from . import datagen as dg
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_pylist()
+    agg: dict[tuple, list] = defaultdict(lambda: [0, 0])
+    for raw in ids:
+        text, _ = dg.gen_doc(int(raw), 42)
+        p = OracleParser()
+        p.feed(text)
+        for ev in p.events:
+            a = agg[(ev.kind, ev.final)]
+            a[0] += 1
+            dropped = ev.kind == "CSI" and (
+                ev.final == "n"
+                or (ev.final == "c" and ev.par in ("", "0")))
+            if not dropped:
+                a[1] += 1
+    rows = [(k, f, *a) for (k, f), a in sorted(agg.items())]
+    return _values_sql(["kind", "final", "n_events", "n_kept"], rows)
 
 
 def top_commands_sql(k: int = 5,

@@ -18,7 +18,8 @@ from console_log_parser_spark.functions import ansi
 KEYS = ["stripped", "seq_hist", "n_events", "n_csi", "n_osc", "n_esc",
         "n_dcs", "n_sgr", "n_c1", "severity", "n_debug", "n_info",
         "n_warn", "n_error", "ts_min", "ts_max", "prompt_count",
-        "cmd_lines", "n_vim", "n_unparsed"]
+        "cmd_lines", "n_vim", "n_unparsed",
+        "n_app_mode", "n_devstat", "n_edit_warnings"]
 
 _WORDS = ["make", "test", "ok", "x=1", "INFO", "ERROR", "WARN", "DEBUG",
           "path/to", "2024-03-01 10:20:30", "2024-03-01T10:20:30.5",
@@ -35,7 +36,11 @@ _EDITS = ["\x08", "\x08\x08", "\r", "\x1b[K", "\x1b[1K", "\x1b[2K",
 _OTHER_SEQ = ["\x1b]0;win title\x07", "\x1b]2;t\x1b\\", "\x1b(B",
               "\x1b=", "\x1b>", "\x1bPq#0;1;2~~\x1b\\", "\x9b31m",
               "\x9b0m", "\x85", "\x84", "\x9d0;c1 title\x07",
-              "\x1b[?25h", "\x1b[?25l", "\x1b[6n", "\x1b[0c"]
+              "\x1b[?25h", "\x1b[?25l", "\x1b[6n", "\x1b[0c",
+              # P8 app-mode material: adjacent pairs (enter/exit),
+              # bare halves, near-miss (text between), \x9b form, DA
+              "\x1b[?1h\x1b=", "\x1b[?1l\x1b>", "\x1b[?1h", "\x1b[?1l",
+              "\x1b[?1hX\x1b=", "\x9b?1h\x1b=", "\x1b[c", "\x1b[>c"]
 
 _TRUNC = ["", "\x1b", "\x1b[", "\x1b[12", "\x1b]0;half", "\x1bP partial",
           "\x1b[38;5"]

@@ -3,9 +3,15 @@ efficiency >= 0.8 between N and 4N executors, evidenced in this sandbox
 by the identical job at local[8] vs local[32] on the same input).
 
 Runs bench.py as a subprocess at each parallelism (each invocation is
-itself a steady-state median-of-3 after warm-up; the best of
-SPARK_GRAFT_SCALING_RUNS invocations is taken per level), computes
+itself a steady-state median-of-3 after warm-up; the MEDIAN of
+SPARK_GRAFT_SCALING_RUNS invocations is taken per level — never the
+best, so host variance cannot bias the claim upward), computes
 efficiency, writes BENCH/BASELINE.md and prints one JSON line.
+
+The machine-readable ``pass`` flag is tied to the RAW 8->32
+efficiency only. The hardware-ceiling-normalized number and the
+2->8-core number are reported as clearly-labeled supplementary
+context (``pass_normalized`` / ``pass_2_8``), not substitutes.
 """
 from __future__ import annotations
 
@@ -56,7 +62,19 @@ def hardware_ceiling(levels=(8, 32), secs: float = 5.0) -> dict:
             "efficiency": (rates[hi] / rates[lo]) / (hi / lo)}
 
 
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
 def run_bench(cpus: int, sf_dir: str) -> dict:
+    import shutil as _sh
+    if _sh.which("taskset") is None:
+        raise RuntimeError(
+            "taskset not found: the scaling harness requires cpuset "
+            "pinning to emulate k-executor levels; install util-linux "
+            "or run on a host that provides taskset")
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=sf_dir)
     # scaling runs need enough work that fixed per-job overheads
@@ -90,21 +108,25 @@ def main():
     runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
     levels = sorted({int(x) for x in os.environ.get(
         "SPARK_GRAFT_SCALING_LEVELS", "2,8,32").split(",")})
+    if 8 not in levels or 32 not in levels:
+        raise SystemExit(
+            f"SPARK_GRAFT_SCALING_LEVELS={levels} must include both 8 "
+            "and 32 — the north rule's N/4N pair — before any bench "
+            "time is spent")
     results = {}
     for cpus in levels:
         rs = [run_bench(cpus, sf_dir) for _ in range(runs)]
-        best = max(r["pipeline"]["seq_per_sec"] for r in rs)
-        best_tok = max(r["pipeline"]["tok_per_sec"] for r in rs)
+        med = _median([r["pipeline"]["seq_per_sec"] for r in rs])
+        med_tok = _median([r["pipeline"]["tok_per_sec"] for r in rs])
         results[cpus] = {
-            "seq_per_sec": best, "tok_per_sec": best_tok,
+            "seq_per_sec": med, "tok_per_sec": med_tok,
             "all_runs": [r["pipeline"]["seq_per_sec"] for r in rs],
             "sample": rs[-1],
         }
     eff = (results[32]["seq_per_sec"] / results[8]["seq_per_sec"]) / 4.0
     hw = hardware_ceiling()
     eff_norm = eff / hw["efficiency"] if hw["efficiency"] else eff
-    eff_2_8 = ((results[2]["seq_per_sec"] and
-                (results[8]["seq_per_sec"] / results[2]["seq_per_sec"]) / 4.0)
+    eff_2_8 = ((results[8]["seq_per_sec"] / results[2]["seq_per_sec"]) / 4.0
                if 2 in results else None)
     summary = {
         "metric": "scaling_efficiency_8_to_32",
@@ -116,8 +138,12 @@ def main():
         "seq_per_sec": {k: v["seq_per_sec"] for k, v in results.items()},
         "tok_per_sec": {k: v["tok_per_sec"] for k, v in results.items()},
         "sf_dir": sf_dir,
-        "pass": eff >= 0.8 or eff_norm >= 0.8 or
-        (eff_2_8 or 0) >= 0.8,
+        # the headline pass is the RAW rule metric, nothing else;
+        # the supplementary flags are context, not substitutes
+        "pass": eff >= 0.8,
+        "pass_raw": eff >= 0.8,
+        "pass_normalized": eff_norm >= 0.8,
+        "pass_2_8": (eff_2_8 or 0) >= 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     r8, r32 = results[8], results[32]
@@ -147,16 +173,18 @@ cpuset, local[8]'s python workers spill onto the 24 idle cores and
 the N level is overstated). Each invocation reports the median of 3
 steady-state runs after warm-up (worker forks + imports + JIT are
 one-time costs a long-running cluster job never sees per batch);
-each level is the best of {runs} invocations.
+each level is the MEDIAN of {runs} invocations (never the best —
+host variance must not bias the claim upward).
 
 | parallelism | sequences/sec | tokens/sec |
 |---|---|---|
 {r2_row}| local[8]  (N)  | {r8['seq_per_sec']:.0f} | {r8['tok_per_sec']:.0f} |
 | local[32] (4N) | {r32['seq_per_sec']:.0f} | {r32['tok_per_sec']:.0f} |
 
-**Scaling efficiency N->4N = (T32/T8)/4 = {eff:.3f}** raw;
-**{eff_norm:.3f} normalized to the measured hardware ceiling**
-(requirement: >= 0.8 — {"PASS" if summary["pass"] else "FAIL"}).
+**Scaling efficiency N->4N = (T32/T8)/4 = {eff:.3f}** raw
+(requirement: >= 0.8 — {"PASS" if summary["pass"] else "FAIL"};
+the pass verdict is the RAW number only). Supplementary:
+**{eff_norm:.3f} normalized to the measured hardware ceiling**.
 {eff28_line}
 
 Hardware-ceiling context: this sandbox's 32 vCPUs are oversubscribed
