@@ -339,6 +339,48 @@ def cast_hops(spark, sf_dir):
         .alias("n_right"))
 
 
+def cast_vim_sessions(spark, sf_dir):
+    """S8 vim-session capture (asciinema2html.py:192-258): per-session
+    frame series re-timed onto the quantized rebased axis; aggregate
+    dump stats. The synthetic casts embed the 22;0;0t / 23;0;0t
+    markers in closed form, so the full capture + re-time round trip
+    is SQL-checkable."""
+    from console_log_parser_spark.sources import asciinema
+    fr = asciinema.frames(_cast_lines(spark, sf_dir))
+    stats = asciinema.vim_session_stats(fr)
+    return stats.agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_frames").alias("sum_frames"),
+        F.sum("duration_q4").alias("sum_duration_q4"),
+        F.max("duration_q4").alias("max_duration_q4"))
+
+
+def events_hop_renumber(spark, sf_dir):
+    """J2 hop-target renumbering (terminal2html.py:16-38, 376-388):
+    hop links display the target command number minus the suppressed
+    commands at or before it. Commands = per-user time-ordered events;
+    suppressed = 'error' events; hop targets = command numbers
+    {3, 10, 25} of every user (broadcast dimension)."""
+    _ship_package(spark)
+    from console_log_parser_spark.operators.enrich import (
+        hop_target_renumber)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    commands = (ev.select(
+        "user_id", "ts", "event_id",
+        (F.col("event_type") == "error").alias("suppressed"))
+        .withColumn("cmd_no", F.row_number().over(w))
+        .select("user_id", "cmd_no", "suppressed"))
+    targets = spark.createDataFrame([(3,), (10,), (25,)], "cmd_no int")
+    hops = (ev.select("user_id").distinct()
+            .crossJoin(F.broadcast(targets)))
+    renum = hop_target_renumber(commands, hops, id_col="user_id")
+    return (renum.groupBy("cmd_no")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum("renumbered").alias("sum_renumbered")))
+
+
 _STREAM_SEQ = [0]
 
 
@@ -816,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cast_frame_stats": cast_frame_stats,
         "cast_retime_hist": cast_retime_hist,
         "cast_hops": cast_hops,
+        "cast_vim_sessions": cast_vim_sessions,
+        "events_hop_renumber": events_hop_renumber,
         "doc_dedup_exact": doc_dedup_exact,
         "doc_fingerprint": doc_fingerprint,
         "doc_token_count": doc_token_count,
@@ -1069,6 +1113,65 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(sum(CASE WHEN side = 'right' THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_right
             FROM flagged
+        """,
+        "cast_vim_sessions": """
+            WITH f AS (
+                SELECT d.doc_id, t.i,
+                       round(t.i * (d.doc_id % 100 + 1)
+                             * CAST(0.05 AS DOUBLE), 4) AS ts,
+                       least(5 + d.doc_id % 20 - 1,
+                             3 + d.doc_id % 3) AS e
+                FROM documents d CROSS JOIN range(0, 25) t(i)
+                WHERE d.doc_id % 4 = 2 AND t.i < 5 + d.doc_id % 20
+            ),
+            sess AS (SELECT doc_id, i, ts FROM f
+                     WHERE i BETWEEN 1 AND e),
+            dts AS (SELECT doc_id,
+                           round(ts - coalesce(lag(ts) OVER (
+                               PARTITION BY doc_id ORDER BY i), ts), 4)
+                               AS dt
+                    FROM sess),
+            qs AS (SELECT doc_id,
+                          CAST(round(10000 * CASE
+                               WHEN dt >= 4.0 THEN 4.0
+                               WHEN dt >= 2.0 THEN 2.0
+                               WHEN dt >= 1.0 THEN 1.0
+                               WHEN dt >= 0.5 THEN 0.5
+                               WHEN dt >= 0.3 THEN 0.3
+                               WHEN dt >= 0.18 THEN 0.18
+                               WHEN dt >= 0.1 THEN 0.1
+                               WHEN dt >= 0.03 THEN 0.03
+                               ELSE dt END) AS BIGINT) AS qi
+                   FROM dts),
+            per AS (SELECT doc_id, count(*) AS n_frames,
+                           CAST(sum(qi) AS BIGINT) AS dur
+                    FROM qs GROUP BY doc_id)
+            SELECT count(*) AS n_sessions,
+                   count(DISTINCT doc_id) AS n_docs,
+                   CAST(sum(n_frames) AS BIGINT) AS sum_frames,
+                   CAST(sum(dur) AS BIGINT) AS sum_duration_q4,
+                   max(dur) AS max_duration_q4
+            FROM per
+        """,
+        "events_hop_renumber": """
+            WITH cmds AS (
+                SELECT user_id,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS cmd_no,
+                       CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                           AS sup
+                FROM events),
+            numbered AS (
+                SELECT user_id, cmd_no,
+                       cmd_no - sum(sup) OVER (PARTITION BY user_id
+                           ORDER BY cmd_no ROWS UNBOUNDED PRECEDING)
+                           AS renumbered
+                FROM cmds)
+            SELECT cmd_no, count(*) AS n_users,
+                   CAST(sum(renumbered) AS BIGINT) AS sum_renumbered
+            FROM numbered
+            WHERE cmd_no IN (3, 10, 25)
+            GROUP BY cmd_no
         """,
         "stream_sessionize": """
             SELECT user_id,

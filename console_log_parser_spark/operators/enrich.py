@@ -33,6 +33,37 @@ def enrich_stage(parsed: DataFrame, routes: DataFrame) -> DataFrame:
             .withColumn("matched", F.col("title").isNotNull()))
 
 
+def hop_target_renumber(commands: DataFrame, hops: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """J2: hop-target lookup with filtered renumbering
+    (terminal2html.py:16-38 ``HopTarget.get_target_cmd`` +
+    :376-388 ``add_hopto_link``).
+
+    When a hop links to command ``t`` of a target document whose
+    suppress filter hides some commands, the DISPLAYED number is
+    ``t - |{suppressed s : s <= t}|`` (the reference walks the sorted
+    filter list decrementing while ``cmd <= hop``). Here that walk is
+    a running ``sum(suppressed)`` window per document (partitioned —
+    scale-safe) and the hop table, tiny by construction (a handful of
+    cross-file links per corpus), joins broadcast.
+
+    commands: (id_col, cmd_no, suppressed) — one row per command.
+    hops: (id_col, cmd_no) — hop targets to renumber.
+    Returns hops + ``renumbered``.
+    """
+    from pyspark.sql import Window
+    w = (Window.partitionBy(id_col).orderBy("cmd_no")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    numbered = commands.withColumn(
+        "renumbered",
+        F.col("cmd_no")
+        - F.sum(F.col("suppressed").cast("int")).over(w))
+    # hops is the small side: broadcast it so the command fact side
+    # never shuffles for the lookup
+    return (numbered.select(id_col, "cmd_no", "renumbered")
+            .join(F.broadcast(hops), [id_col, "cmd_no"], "inner"))
+
+
 def apply_suppress_filter(enriched: DataFrame) -> DataFrame:
     """Drop suppressed command numbers from cmd_lines per route config
     (reference: terminal2html.py:390-395, set via main.py:243-245).

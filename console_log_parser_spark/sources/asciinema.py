@@ -65,10 +65,11 @@ def frames(cast_lines: DataFrame) -> DataFrame:
 
 
 def quantize_expr(col):
-    """Largest reference bucket <= value, else the smallest bucket —
-    the Spark expression form of quantize_ts (asciinema2html.py:236)."""
-    expr = F.lit(QUANT_BUCKETS[-1])
-    for b in QUANT_BUCKETS[::-1][1:]:
+    """Largest reference bucket <= value, else the RAW value — the
+    exact Spark expression form of quantize_ts (asciinema2html.py:236:
+    the loop returns ``ts`` itself when no bucket is <= it)."""
+    expr = col
+    for b in QUANT_BUCKETS[::-1]:
         expr = F.when(col >= F.lit(b), F.lit(b)).otherwise(expr)
     return expr
 
@@ -104,6 +105,59 @@ def hops(left: DataFrame, right: DataFrame) -> DataFrame:
         & (F.col("side") != F.col("prev_side")))
 
 
+VIM_START_MARK = "\x1b[22;0;0t"
+VIM_END_MARK = "\x1b[23;0;0t"
+
+
+def vim_sessions(fr: DataFrame) -> DataFrame:
+    """S8: per-(doc, session) vim capture with reference re-timing
+    (asciinema2html.py:201-258 ``VimRecording``): a session spans the
+    frame carrying the 22;0;0t title-stack push through the frame
+    carrying the 23;0;0t pop (inclusive); captured frames are REBASED
+    to a fresh time axis where each step is the QUANTIZED inter-frame
+    delta (``frame_time``: rel_k = rel_{k-1} + quantize(ts_k -
+    ts_{k-1})).
+
+    The rebased axis is carried as ``rel_ts_q4`` — integer 1e-4 s
+    units — so the cumulative sum is exact integer arithmetic in any
+    engine (the reference accumulates per-step-rounded floats; the two
+    agree to 1e-5 by construction since every quantized step is an
+    exact multiple of 1e-4 after the 4dp delta rounding).
+
+    All windows are partitioned by doc (and session) — scale-safe.
+    Returns (doc_id, session_id, frame_no, data, rel_ts_q4).
+    """
+    start = F.col("data").contains(VIM_START_MARK).cast("int")
+    end = F.col("data").contains(VIM_END_MARK).cast("int")
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    marked = (fr
+              .withColumn("_starts", F.sum(start).over(w))
+              .withColumn("_ends_before",
+                          F.coalesce(F.sum(end).over(wprev), F.lit(0))))
+    in_sess = (marked.filter(F.col("_starts") > F.col("_ends_before"))
+               .withColumn("session_id", F.col("_starts")))
+    ws = Window.partitionBy("doc_id", "session_id").orderBy("frame_no")
+    dt = F.round(F.col("ts")
+                 - F.coalesce(F.lag("ts").over(ws), F.col("ts")), 4)
+    qi = F.round(quantize_expr(dt) * 10000).cast("long")
+    rel = F.sum(qi).over(ws.rowsBetween(Window.unboundedPreceding, 0))
+    return (in_sess
+            .withColumn("rel_ts_q4", rel)
+            .select("doc_id", "session_id", "frame_no", "data",
+                    "rel_ts_q4"))
+
+
+def vim_session_stats(fr: DataFrame) -> DataFrame:
+    """Per-session dump stats: (doc_id, session_id, n_frames,
+    duration_q4) — the table a ``dump_vim_sessions`` sink
+    (asciinema2html.py:192-197) would write one file per row of."""
+    sess = vim_sessions(fr)
+    return (sess.groupBy("doc_id", "session_id")
+            .agg(F.count("*").alias("n_frames"),
+                 F.max("rel_ts_q4").alias("duration_q4")))
+
+
 # --- deterministic synthesis (closed forms shared with SQL oracles) -------
 
 def n_frames_expr(doc_id):
@@ -116,10 +170,23 @@ def step_expr(doc_id):
     return (F.pmod(doc_id, F.lit(100)) + 1) * F.lit(0.05)
 
 
+def vim_span_exprs(d, n):
+    """Closed-form vim-session span for synthetic casts: docs with
+    ``doc_id % 4 == 2`` carry one session from frame 1 through frame
+    ``min(n - 1, 3 + doc_id % 3)`` (shared with the SQL oracles)."""
+    is_vim = F.pmod(d, F.lit(4)) == 2
+    s = F.lit(1)
+    e = F.least(n - 1, F.lit(3) + F.pmod(d, F.lit(3)))
+    return is_vim, s, e
+
+
 def synth_cast_lines(ids: DataFrame) -> DataFrame:
     """(doc_id: long) -> cast JSONL lines (header + frames), built
     entirely from JVM-side expressions (format_string/concat) — the
-    synthesis itself is part of the declarative plan."""
+    synthesis itself is part of the declarative plan. Docs with
+    ``doc_id % 4 == 2`` embed a vim session: the span-start frame
+    carries the 22;0;0t title-stack push (JSON-escaped ESC) and the
+    span-end frame the 23;0;0t pop, mirroring real recordings."""
     d = F.col("doc_id")
     hdr = ids.select(
         "doc_id",
@@ -128,13 +195,21 @@ def synth_cast_lines(ids: DataFrame) -> DataFrame:
             '{"version": 2, "width": %d, "height": 24, "timestamp": %d}',
             (F.lit(80) + F.pmod(d, F.lit(40))).cast("int"),
             (F.lit(1700000000) + d).cast("long")).alias("line"))
+    i = F.col("i")
+    is_vim, s, e = vim_span_exprs(d, n_frames_expr(d))
+    payload = (
+        F.when(is_vim & (i == s),
+               F.format_string('\\u001b[22;0;0tvim doc %d', d))
+        .when(is_vim & (i == e), F.lit('\\u001b[23;0;0t:wq'))
+        .otherwise(F.format_string('frame %d of doc %d\\r\\n', i, d)))
     fr = (ids.select("doc_id", F.explode(
         F.sequence(F.lit(0), n_frames_expr(d) - 1)).alias("i"))
         .select(
             "doc_id",
             F.col("i").alias("line_no"),
-            F.format_string(
-                '[%.4f, "o", "frame %d of doc %d\\r\\n"]',
-                F.round(F.col("i") * step_expr(F.col("doc_id")), 4),
-                F.col("i"), F.col("doc_id")).alias("line")))
+            F.concat(
+                F.format_string(
+                    '[%.4f, "o", ',
+                    F.round(F.col("i") * step_expr(F.col("doc_id")), 4)),
+                F.lit('"'), payload, F.lit('"]')).alias("line")))
     return hdr.unionByName(fr)

@@ -77,3 +77,89 @@ def test_hops_match_dual_cursor_simulation(spark, cast_lines):
     merged = sorted(side_rows(left, "left") + side_rows(right, "right"))
     switches = sum(1 for a, b in zip(merged, merged[1:]) if a[1] != b[1])
     assert n_hops == switches
+
+
+def test_vim_sessions_match_reference_retiming(spark):
+    """vim_sessions must reproduce the reference VimRecording
+    frame_time walk (asciinema2html.py:226-247): rel_k = rel_{k-1} +
+    quantize(ts_k - ts_{k-1}), rebased to the span start."""
+    from console_log_parser_spark.sources import asciinema
+
+    ids = spark.createDataFrame([(i,) for i in range(40)],
+                                "doc_id long")
+    fr = asciinema.frames(asciinema.synth_cast_lines(ids))
+    got = {}
+    for r in asciinema.vim_sessions(fr).collect():
+        got.setdefault((r["doc_id"], r["session_id"]), []).append(
+            (r["frame_no"], r["rel_ts_q4"]))
+
+    def quantize(ts):
+        for q in (4.0, 2.0, 1.0, 0.5, 0.3, 0.18, 0.1, 0.03):
+            if ts >= q:
+                return q
+        return ts
+
+    want = {}
+    for d in range(40):
+        if d % 4 != 2:
+            continue
+        n = 5 + d % 20
+        step = (d % 100 + 1) * 0.05
+        ts = [round(i * step, 4) for i in range(n)]
+        s, e = 1, min(n - 1, 3 + d % 3)
+        rel = 0
+        frames = []
+        last = ts[s]
+        for i in range(s, e + 1):
+            dt = round(ts[i] - last, 4)
+            rel += int(round(10000 * quantize(dt)))
+            last = ts[i]
+            frames.append((i, rel))
+        want[(d, 1)] = frames
+    for k in want:
+        assert sorted(got[k]) == want[k], (k, got.get(k), want[k])
+    assert set(got) == set(want)
+
+
+def test_non_vim_docs_have_no_sessions(spark):
+    from pyspark.sql import functions as F
+
+    from console_log_parser_spark.sources import asciinema
+    ids = spark.createDataFrame([(i,) for i in range(20)],
+                                "doc_id long")
+    fr = asciinema.frames(asciinema.synth_cast_lines(ids))
+    docs = {r["doc_id"] for r in
+            asciinema.vim_sessions(fr).select("doc_id")
+            .distinct().collect()}
+    assert docs == {d for d in range(20) if d % 4 == 2}
+
+
+def test_hop_target_renumber_matches_reference_walk(spark):
+    """hop_target_renumber == HopTarget.get_target_cmd
+    (terminal2html.py:16-38): cmdnum = hop - |{filter cmd <= hop}|."""
+    from console_log_parser_spark.operators.enrich import (
+        hop_target_renumber)
+
+    suppress = {"a": [2, 5, 6], "b": [1], "c": []}
+    n_cmds = 9
+    rows = [(doc, no, no in sup) for doc, sup in suppress.items()
+            for no in range(1, n_cmds + 1)]
+    commands = spark.createDataFrame(
+        rows, "doc_id string, cmd_no int, suppressed boolean")
+    hops = spark.createDataFrame(
+        [(d, t) for d in suppress for t in (1, 2, 5, 7, 9)],
+        "doc_id string, cmd_no int")
+    got = {(r["doc_id"], r["cmd_no"]): r["renumbered"]
+           for r in hop_target_renumber(commands, hops).collect()}
+
+    def ref_walk(hop, filt):  # terminal2html.py:33-38
+        cmdnum = hop
+        for cmd in filt:
+            if hop < cmd:
+                break
+            cmdnum -= 1
+        return cmdnum
+
+    for d, filt in suppress.items():
+        for t in (1, 2, 5, 7, 9):
+            assert got[(d, t)] == ref_walk(t, sorted(filt)), (d, t)
