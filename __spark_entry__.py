@@ -820,6 +820,30 @@ def pipeline_typed_events(spark, sf_dir):
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
 
 
+def pipeline_chapters(spark, sf_dir):
+    """J1 full form: per-command chapter headings via broadcast join
+    on (source, cmd_no) (terminal2html.py:399-402), suppressed
+    commands numbered but heading-free."""
+    _ship_package(spark)
+    from console_log_parser_spark import datagen
+    from console_log_parser_spark.operators.enrich import (
+        chapter_headings, enrich_stage)
+    from console_log_parser_spark.operators.parse import (
+        parse_stage, synth_tokens_stage)
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id_num"))
+    logs = synth_tokens_stage(ids)
+    routes = spark.createDataFrame(datagen.route_metadata_rows())
+    chapters = spark.createDataFrame(datagen.chapter_rows())
+    enriched = enrich_stage(parse_stage(logs), routes)
+    headed = chapter_headings(enriched, chapters)
+    return (headed.groupBy("sink")
+            .agg(F.count("*").alias("n_cmds"),
+                 F.count("heading").alias("n_headed"),
+                 F.countDistinct("heading").alias("n_distinct_headings"))
+            .orderBy("sink"))
+
+
 def pipeline_source_rollup(spark, sf_dir):
     """ROLLUP(route, source) in one pass — per-source, per-route and
     grand totals (A1-A12 generalization; partial+final hash agg)."""
@@ -887,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_top_commands": pipeline_top_commands,
         "pipeline_app_mode": pipeline_app_mode,
         "pipeline_typed_events": pipeline_typed_events,
+        "pipeline_chapters": pipeline_chapters,
         "pipeline_source_rollup": pipeline_source_rollup,
         "events_type_cube": events_type_cube,
     }
@@ -1494,6 +1519,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "html_render_stats": oracle_html.render_stats_sql(sf),
         "pipeline_app_mode": oracle_pipeline.app_mode_sql(sf),
         "pipeline_typed_events": oracle_pipeline.typed_events_sql(sf),
+        "pipeline_chapters": oracle_pipeline.chapters_sql(sf),
         "pipeline_source_rollup": oracle_pipeline.source_rollup_sql(sf),
         "events_type_cube": """
             SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,

@@ -241,6 +241,21 @@ def route_metadata_rows(n_sources: int = 64, seed: int = 42,
     return rows
 
 
+def chapter_rows(n_sources: int = 64, seed: int = 42) -> list[dict]:
+    """Per-source chapter headings keyed by command number (reference
+    main.py:237-241 chapters config -> terminal2html.py:399-402 h3
+    emission at start_new_cmd_row): every third mapped source gets a
+    heading at command 1 and command 3."""
+    rows = []
+    for i in range(0, n_sources, 3):
+        src = f"src_{i:03d}"
+        rows.append({"source": src, "cmd_no": 1,
+                     "heading": f"Getting started ({src})"})
+        rows.append({"source": src, "cmd_no": 3,
+                     "heading": f"Deep dive ({src})"})
+    return rows
+
+
 TOKENIZED_SCHEMA = pa.schema([
     pa.field("doc_id", pa.string()),
     pa.field("tokens", pa.list_(pa.int32())),

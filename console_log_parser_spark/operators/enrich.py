@@ -64,6 +64,37 @@ def hop_target_renumber(commands: DataFrame, hops: DataFrame,
             .join(F.broadcast(hops), [id_col, "cmd_no"], "inner"))
 
 
+def chapter_headings(enriched: DataFrame, chapters: DataFrame) -> DataFrame:
+    """J1 full form: per-COMMAND chapter lookup
+    (terminal2html.py:399-402 + main.py:237-241): a heading fires when
+    a command's ORIGINAL 1-based number appears in the source's
+    chapter config and the command is not suppressed (the reference
+    increments cmd_count before the suppress check, so suppressed
+    commands keep their numbers but emit nothing).
+
+    Broadcast join on (source, cmd_no) — the chapter dimension is a
+    config file, never fact-sized. Returns one row per command:
+    (doc_id, source, sink, cmd_no, cmd, suppressed, heading|null).
+    """
+    cmds = enriched.select(
+        "doc_id", "source", "sink", "suppress_cmds",
+        F.posexplode("cmd_lines").alias("pos", "cmd"))
+    with_no = (cmds
+               .withColumn("cmd_no", (F.col("pos") + 1).cast("int"))
+               .withColumn(
+                   "suppressed",
+                   F.coalesce(
+                       F.array_contains("suppress_cmds", F.col("cmd_no")),
+                       F.lit(False)))
+               .drop("pos", "suppress_cmds"))
+    dim = F.broadcast(chapters.select("source", "cmd_no", "heading"))
+    out = with_no.join(dim, ["source", "cmd_no"], "left")
+    return out.withColumn(
+        "heading",
+        F.when(F.col("suppressed"), F.lit(None)).otherwise(
+            F.col("heading")))
+
+
 def apply_suppress_filter(enriched: DataFrame) -> DataFrame:
     """Drop suppressed command numbers from cmd_lines per route config
     (reference: terminal2html.py:390-395, set via main.py:243-245).

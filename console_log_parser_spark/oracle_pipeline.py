@@ -66,6 +66,8 @@ def routed_rows(sf_dir: str = "/root/testdata/sf0.01") -> tuple:
             "ts_min": p["ts_min"], "ts_max": p["ts_max"],
             "seq_hist": p["seq_hist"],
             "cmd_lines_routed": cmds,
+            "cmd_lines_all": p["cmd_lines"],
+            "suppress": suppress,
         })
     return tuple(rows)
 
@@ -199,6 +201,29 @@ def typed_events_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
                 a[1] += 1
     rows = [(k, f, *a) for (k, f), a in sorted(agg.items())]
     return _values_sql(["kind", "final", "n_events", "n_kept"], rows)
+
+
+def chapters_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Per-sink chapter-heading accounting (J1 full form): total
+    commands, commands whose original number carries a heading for the
+    doc's source (suppressed commands emit none), distinct headings."""
+    chapters = {(c["source"], c["cmd_no"]): c["heading"]
+                for c in datagen.chapter_rows()}
+    agg: dict[str, list] = defaultdict(lambda: [0, 0, set()])
+    for r in routed_rows(sf_dir):
+        a = agg[r["sink"]]
+        for j in range(len(r["cmd_lines_all"])):
+            no = j + 1
+            a[0] += 1
+            if no in r["suppress"]:
+                continue
+            h = chapters.get((r["source"], no))
+            if h is not None:
+                a[1] += 1
+                a[2].add(h)
+    rows = [(s, a[0], a[1], len(a[2])) for s, a in sorted(agg.items())]
+    return _values_sql(
+        ["sink", "n_cmds", "n_headed", "n_distinct_headings"], rows)
 
 
 def top_commands_sql(k: int = 5,

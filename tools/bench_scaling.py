@@ -146,6 +146,18 @@ def main():
         "pass_2_8": (eff_2_8 or 0) >= 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # append-only invocation history: the claim must be judged over
+    # ALL harness invocations ever run, not the latest/best one
+    hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
+    with open(hist_path, "a") as hf:
+        hf.write(json.dumps(summary) + "\n")
+    history = []
+    with open(hist_path) as hf:
+        for ln in hf:
+            if ln.strip():
+                history.append(json.loads(ln))
+    hist_effs = [h["value"] for h in history]
+    hist_median = _median(hist_effs)
     r8, r32 = results[8], results[32]
     hw_eff = hw["efficiency"]
     r2_row = ""
@@ -199,6 +211,22 @@ the hardware allows.
 
 Raw per-run sequences/sec: local[8]={r8['all_runs']},
 local[32]={r32['all_runs']}.
+
+## Invocation history (append-only, BENCH/scaling_history.jsonl)
+
+All harness invocations ever recorded, raw 8->32 efficiency each —
+the durable claim is the MEDIAN of this column
+(**{hist_median:.3f}** over {len(history)} invocations), so no single
+lucky run can carry the verdict:
+
+| # | raw eff 8->32 | normalized | seq/s @8 | seq/s @32 |
+|---|---|---|---|---|
+""" + "\n".join(
+            f"| {i + 1} | {h['value']:.3f} "
+            f"| {h.get('normalized_to_hw_ceiling', 0):.3f} "
+            f"| {h['seq_per_sec'].get('8', h['seq_per_sec'].get(8, 0)):.0f} "
+            f"| {h['seq_per_sec'].get('32', h['seq_per_sec'].get(32, 0)):.0f} |"
+            for i, h in enumerate(history)) + f"""
 
 Latest full bench line (local[32]):
 
