@@ -557,7 +557,14 @@ def doc_minhash_signatures(spark, sf_dir):
 
 
 def doc_simhash_pairs(spark, sf_dir):
-    """64-bit SimHash near-dup pairs via 16-bit block LSH."""
+    """64-bit SimHash near-dup pairs via 16-bit block LSH.
+
+    Semantics note: the 4x16-bit pigeonhole guarantees TOTAL recall
+    only for hamming <= 3; with max_hamming=16 this query returns
+    "LSH-candidate pairs within hamming 16" (pairs must still share a
+    block), which is exactly what the oracle SQL computes — the two
+    agree by construction, and the hamming<=3 regime is the
+    production dedup setting."""
     _ship_package(spark)
     from console_log_parser_spark.operators import dedup
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
