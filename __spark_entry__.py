@@ -495,6 +495,52 @@ def doc_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs_prefix(docs)
 
 
+def doc_quality_filter(spark, sf_dir):
+    """Gopher-style rule-based quality gate (first-failing-rule
+    verdict, all-integer thresholds so Spark and DuckDB can never
+    disagree on a boundary): word-count bounds, mean-word-length
+    bounds (via letters = chars minus separating spaces, integer
+    cross-multiplied), minimum stopword rate."""
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    letters = F.col("n_chars") - n_words + 1
+    n_stop = F.size(F.expr(
+        r"regexp_extract_all(text, '\\b(the|a|and|of|to|in)\\b', 0)"))
+    reason = (F.when(n_words < 40, "too_short")
+              .when(n_words > 100000, "too_long")
+              .when(letters < 3 * n_words, "short_words")
+              .when(letters > 10 * n_words, "long_words")
+              .when(n_stop * 100 < n_words, "low_stopword")
+              .otherwise("keep"))
+    return (docs.withColumn("verdict", reason)
+            .groupBy("lang", "verdict")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+def doc_repetition(spark, sf_dir):
+    """Repetition signals (the Gopher family's top-word dominance and
+    vocabulary-diversity rules): per doc, the most frequent word's
+    share and the distinct-word share, both as integer-percent
+    (DIV 100 arithmetic — engine-portable); summed per language."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    wc = (words.groupBy("doc_id", "lang", "w")
+          .agg(F.count("*").alias("cnt")))
+    per_doc = (wc.groupBy("doc_id", "lang")
+               .agg(F.sum("cnt").alias("total"),
+                    F.max("cnt").alias("max_cnt"),
+                    F.count("*").alias("n_distinct")))
+    dom = F.expr("(100 * max_cnt) div total")
+    div = F.expr("(100 * n_distinct) div total")
+    return (per_doc.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(dom).alias("sum_dominance_pct"),
+                 F.sum(div).alias("sum_distinct_pct"),
+                 F.max(dom).alias("max_dominance_pct")))
+
+
 def doc_dedup_keep_first(spark, sf_dir):
     """Exact dedup with canonical survivor (min doc_id per md5(text));
     per-source surviving counts."""
@@ -896,6 +942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": doc_token_count,
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
+        "doc_quality_filter": doc_quality_filter,
+        "doc_repetition": doc_repetition,
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_dedup_keep_first": doc_dedup_keep_first,
         "doc_dedup_clusters": doc_dedup_clusters,
@@ -1260,6 +1308,44 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                               THEN 'en' ELSE 'unk' END AS predicted
                   FROM documents)
             GROUP BY lang, predicted
+        """,
+        "doc_quality_filter": """
+            SELECT lang, verdict, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM (SELECT lang, n_chars,
+                         CASE WHEN nw < 40 THEN 'too_short'
+                              WHEN nw > 100000 THEN 'too_long'
+                              WHEN letters < 3 * nw THEN 'short_words'
+                              WHEN letters > 10 * nw THEN 'long_words'
+                              WHEN ns * 100 < nw THEN 'low_stopword'
+                              ELSE 'keep' END AS verdict
+                  FROM (SELECT lang, n_chars,
+                               len(string_split(text, ' ')) AS nw,
+                               n_chars - len(string_split(text, ' '))
+                                   + 1 AS letters,
+                               len(regexp_extract_all(text,
+                                   '\\b(the|a|and|of|to|in)\\b')) AS ns
+                        FROM documents))
+            GROUP BY lang, verdict
+        """,
+        "doc_repetition": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum((100 * max_cnt) // total) AS BIGINT)
+                       AS sum_dominance_pct,
+                   CAST(sum((100 * n_distinct) // total) AS BIGINT)
+                       AS sum_distinct_pct,
+                   CAST(max((100 * max_cnt) // total) AS BIGINT)
+                       AS max_dominance_pct
+            FROM (SELECT doc_id, lang,
+                         sum(cnt) AS total, max(cnt) AS max_cnt,
+                         count(*) AS n_distinct
+                  FROM (SELECT doc_id, lang, w, count(*) AS cnt
+                        FROM (SELECT doc_id, lang,
+                                     unnest(string_split(text, ' ')) AS w
+                              FROM documents)
+                        GROUP BY doc_id, lang, w)
+                  GROUP BY doc_id, lang)
+            GROUP BY lang
         """,
         "doc_ngram_jaccard": """
             WITH sh AS (
