@@ -26,13 +26,22 @@ class PipelineConfig:
     out_dir: str
     salt_buckets: int = 16
     num_partitions: int | None = None
+    # Iceberg table identifier for the tokenized corpus (preferred at
+    # scale: hidden partitioning + snapshot isolation for resume);
+    # None -> parquet under in_dir (sources/catalog.py falls back the
+    # same way when the runtime jar is absent)
+    tokens_table: str | None = None
 
 
 def build_routed(spark: SparkSession, cfg: PipelineConfig,
                  logs: DataFrame | None = None) -> DataFrame:
     """The lazy routed-DataFrame plan (no writes)."""
+    from ..sources.catalog import read_tokens
     if logs is None:
-        logs = spark.read.parquet(f"{cfg.in_dir}/tokenized_logs.parquet")
+        logs = read_tokens(
+            spark,
+            cfg.tokens_table
+            or f"{cfg.in_dir}/tokenized_logs.parquet")
     routes = spark.read.parquet(f"{cfg.in_dir}/route_metadata.parquet")
     parsed = parse_stage(logs.select("doc_id", "tokens", "n_tok", "source"))
     enriched = apply_suppress_filter(enrich_stage(parsed, routes))

@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--salt-buckets", type=int, default=16)
+    ap.add_argument("--tokens-table", default=None,
+                    help="Iceberg identifier for the tokenized corpus "
+                         "(catalog.db.table; needs the runtime jar + "
+                         "catalog conf); default: parquet in --in-dir")
     ap.add_argument("--max-batches", type=int, default=None,
                     help="stop after N uncommitted batches (kill test)")
     args = ap.parse_args()
@@ -46,7 +50,8 @@ def main() -> None:
     from console_log_parser_spark.plans.pipeline import PipelineConfig
 
     cfg = PipelineConfig(in_dir=args.in_dir, out_dir=args.out_dir,
-                         salt_buckets=args.salt_buckets)
+                         salt_buckets=args.salt_buckets,
+                         tokens_table=args.tokens_table)
     result = run_with_checkpoints(spark, cfg, n_batches=args.batches,
                                   max_batches=args.max_batches)
     print(json.dumps({"job": "pipeline", **result}))

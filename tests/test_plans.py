@@ -101,3 +101,31 @@ def test_small_dims_broadcast_in_tpch_joins(spark):
     # the point is that Catalyst is free to choose broadcast (no hints
     # blocking it) — region/nation must never arrive via SortMergeJoin
     assert "BroadcastHashJoin" in plan
+
+
+def test_chapter_and_hop_joins_are_broadcast(spark, small_dataset):
+    """The J1 chapter dimension and J2 hop-target table are
+    config-sized: both must reach the fact side as broadcast joins,
+    never a shuffle of the commands."""
+    from console_log_parser_spark import datagen
+    from console_log_parser_spark.operators.enrich import (
+        chapter_headings, enrich_stage, hop_target_renumber)
+    from console_log_parser_spark.operators.parse import parse_stage
+    logs = spark.read.parquet(f"{small_dataset}/tokenized_logs.parquet")
+    routes = spark.read.parquet(
+        f"{small_dataset}/route_metadata.parquet")
+    chapters = spark.createDataFrame(datagen.chapter_rows())
+    enriched = enrich_stage(parse_stage(
+        logs.select("doc_id", "tokens", "n_tok", "source")), routes)
+    plan = _plan(chapter_headings(enriched, chapters))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    commands = spark.createDataFrame(
+        [("d", i, i % 3 == 0) for i in range(1, 20)],
+        "doc_id string, cmd_no int, suppressed boolean")
+    hops = spark.createDataFrame([("d", 5), ("d", 9)],
+                                 "doc_id string, cmd_no int")
+    plan2 = _plan(hop_target_renumber(commands, hops))
+    assert "BroadcastHashJoin" in plan2
+    assert "SortMergeJoin" not in plan2
