@@ -156,7 +156,12 @@ def main():
         for ln in hf:
             if ln.strip():
                 history.append(json.loads(ln))
-    hist_effs = [h["value"] for h in history]
+    # invalidated entries (root-caused measurement artifacts, e.g. a
+    # mis-partitioned input table) stay VISIBLE in the ledger with
+    # their reason, but do not enter the median — excluding a run
+    # requires writing down why, in the ledger itself
+    valid = [h for h in history if not h.get("invalid")]
+    hist_effs = [h["value"] for h in valid]
     hist_median = _median(hist_effs)
     r8, r32 = results[8], results[32]
     hw_eff = hw["efficiency"]
@@ -215,17 +220,21 @@ local[32]={r32['all_runs']}.
 ## Invocation history (append-only, BENCH/scaling_history.jsonl)
 
 All harness invocations ever recorded, raw 8->32 efficiency each —
-the durable claim is the MEDIAN of this column
-(**{hist_median:.3f}** over {len(history)} invocations), so no single
-lucky run can carry the verdict:
+the durable claim is the MEDIAN of the VALID rows
+(**{hist_median:.3f}** over {len(valid)} valid of {len(history)}
+recorded invocations), so no single lucky run can carry the verdict.
+Invalidated rows stay visible with their root-caused reason in
+`scaling_history.jsonl` — excluding a run requires writing down why:
 
-| # | raw eff 8->32 | normalized | seq/s @8 | seq/s @32 |
-|---|---|---|---|---|
+| # | raw eff 8->32 | normalized | seq/s @8 | seq/s @32 | status |
+|---|---|---|---|---|---|
 """ + "\n".join(
             f"| {i + 1} | {h['value']:.3f} "
             f"| {h.get('normalized_to_hw_ceiling', 0):.3f} "
             f"| {h['seq_per_sec'].get('8', h['seq_per_sec'].get(8, 0)):.0f} "
-            f"| {h['seq_per_sec'].get('32', h['seq_per_sec'].get(32, 0)):.0f} |"
+            f"| {h['seq_per_sec'].get('32', h['seq_per_sec'].get(32, 0)):.0f} "
+            + ("| INVALID (see ledger) |" if h.get("invalid")
+               else "| valid |")
             for i, h in enumerate(history)) + f"""
 
 Latest full bench line (local[32]):
