@@ -159,7 +159,10 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, k: int = 3,
     that kills the naive join prunes itself. Verification then counts
     common shingles over the FULL sets for candidates only; the
     threshold is integer cross-multiplied (no float boundary)."""
-    sh = shingles(df, k, id_col, text_col)
+    # the shingle frame feeds four consumers (dfreq, ranked, both full-
+    # set join sides) — persist it so split+md5 run once, released via
+    # the same lifecycle the MinHash path uses
+    sh = shingles(df, k, id_col, text_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
     from pyspark.sql import Window
@@ -185,11 +188,12 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, k: int = 3,
                       F.col("n_sh").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"),
                       F.col("n_sh").alias("size_b"))
-    return (common.join(sa, "doc_a").join(sb, "doc_b")
-            .filter(F.col("common") * jaccard_den
-                    >= jaccard_num * (F.col("size_a") + F.col("size_b")
-                                      - F.col("common")))
-            .select("doc_a", "doc_b", "common", "size_a", "size_b"))
+    out = (common.join(sa, "doc_a").join(sb, "doc_b")
+           .filter(F.col("common") * jaccard_den
+                   >= jaccard_num * (F.col("size_a") + F.col("size_b")
+                                     - F.col("common")))
+           .select("doc_a", "doc_b", "common", "size_a", "size_b"))
+    return _materialize_and_release(out, sh)
 
 
 def _materialize_and_release(result: DataFrame, *intermediates):
@@ -249,10 +253,15 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = (prev.select("node", "label").union(nbr)
                   .groupBy("node").agg(F.min("label").alias("label"))
                   .persist())
+        # Materialize EVERY partition of the new labels cache before
+        # dropping the previous round's (a `.limit(1).count()` alone
+        # short-circuits and would leave most partitions uncached,
+        # forcing full-lineage recompute each later round). count()
+        # is a cheap full-scan action on the (node,label) frame.
+        labels.count()
         # exact fixed-point test: no node's label changed this round
-        # (labels only decrease, so inequality == change). The count
-        # materializes `labels`, after which the superseded round's
-        # cache is dropped — the loop holds at most two cached frames.
+        # (labels only decrease, so inequality == change); reads the
+        # now-complete cache, so limit(1) short-circuit is free
         n_changed = (labels.alias("n")
                      .join(prev.alias("o"), "node")
                      .filter(F.col("n.label") != F.col("o.label"))

@@ -142,7 +142,23 @@ def neardup_lsh_pairs(emb: DataFrame, threshold: float = 0.45,
     tests/test_similarity.py asserts the LSH output equals the exact
     all-pairs result at sf0.001 and sf0.01. At production thresholds
     (>= 0.9, p >= 0.86) the same operator runs with B=16..24 where
-    buckets are tiny and the join is genuinely subquadratic."""
+    buckets are tiny and the join is genuinely subquadratic.
+
+    The operator is PROBABILISTIC in general: exact-all-pairs equality
+    is validated on the shipped corpora, but on other data a pair AT
+    the threshold is recalled with probability 1-(1-p^B)^L — computed
+    and logged below so every (threshold, L, B) configuration carries
+    its own recall statement rather than an implied guarantee."""
+    import logging
+    import math
+
+    p_thr = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    recall_at_thr = 1.0 - (1.0 - p_thr ** b_bits) ** l_tables
+    logging.getLogger(__name__).info(
+        "neardup_lsh_pairs(threshold=%.3f, L=%d, B=%d): analytic recall "
+        "for a pair exactly at threshold = %.6f (rises toward 1 above "
+        "it); pairs below threshold are filtered by exact verification",
+        threshold, l_tables, b_bits, recall_at_thr)
     vecs = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"))

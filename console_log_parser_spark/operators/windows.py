@@ -40,6 +40,18 @@ def range_partitioned_lag(df: DataFrame, order_cols: list[str],
     spark = df.sparkSession
     n = int(num_partitions
             or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if n == 1:
+        # single-partition fast path: one range partition IS the global
+        # order — the in-partition lag is already exact, and the
+        # boundary machinery (lasts aggregate + two broadcast jobs)
+        # would only fix a first row that has no predecessor. Callers
+        # pass num_partitions=1 for known-small inputs; the default
+        # stays the shuffle width.
+        one = (df.repartition(1)
+               .withColumn("_pid", F.spark_partition_id()))
+        w1 = Window.partitionBy("_pid").orderBy(*order_cols)
+        return (one.withColumn(out_col, F.lag(value_col).over(w1))
+                .drop("_pid"))
     ranged = (df.repartitionByRange(n, *order_cols)
               .withColumn("_pid", F.spark_partition_id()))
 
@@ -48,11 +60,14 @@ def range_partitioned_lag(df: DataFrame, order_cols: list[str],
                 .withColumn(out_col, F.lag(value_col).over(in_part))
                 .withColumn("_rn", F.row_number().over(in_part)))
 
-    # last row of each (non-empty) range partition, by the order tuple
+    # last row of each (non-empty) range partition, by the order tuple.
+    # Aggregated from `ranged`, NOT `with_lag`: max(struct(order...))
+    # needs no window, so the WindowExec runs once (in the main branch)
+    # and this branch is scan -> ReusedExchange -> hash agg only.
     tail_struct = F.max(F.struct(
         *[F.col(c) for c in order_cols],
         F.col(value_col).alias("_v"))).alias("_s")
-    lasts = with_lag.groupBy("_pid").agg(tail_struct)
+    lasts = ranged.groupBy("_pid").agg(tail_struct)
     # previous NON-EMPTY partition's last value. ``lasts`` has one row
     # per range partition — cluster-width-sized, never data-sized — so
     # a broadcast triangular join (O(P^2) over P = #partitions rows,

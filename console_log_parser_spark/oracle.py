@@ -116,20 +116,32 @@ class _VisibleLine:
             self.col = max(0, col - 1)
 
 
+def _ascii_user_ch(ch: str) -> bool:
+    """User-field charset — ASCII only, like the reference's regex
+    class ``[a-z0-9._-]`` (terminalparser.py:27-28); Unicode
+    ``str.islower()`` would admit GR-range letters the regex refuses."""
+    return ("a" <= ch <= "z") or ("0" <= ch <= "9") or ch in "._-"
+
+
+def _ascii_host_ch(ch: str) -> bool:
+    """Host-field charset — ASCII ``[-a-zA-Z0-9]`` only."""
+    return ("a" <= ch <= "z") or ("A" <= ch <= "Z") \
+        or ("0" <= ch <= "9") or ch == "-"
+
+
 def _is_mingw_header(line: str) -> bool:
     """Manual check for `user@host MINGW64 cwd` two-line prompt headers."""
     if " MINGW64 " not in line or not line or not (
             "a" <= line[0] <= "z" or line[0] == "."):
         return False
     i, n = 0, len(line)
-    while i < n and (line[i].islower() or line[i].isdigit()
-                     or line[i] in "._-"):
+    while i < n and _ascii_user_ch(line[i]):
         i += 1
     if i == 0 or i >= n or line[i] != "@":
         return False
     i += 1
     h0 = i
-    while i < n and (line[i].isalnum() or line[i] == "-"):
+    while i < n and _ascii_host_ch(line[i]):
         i += 1
     if i == h0 or not line[i:].startswith(" MINGW64 "):
         return False
@@ -154,14 +166,13 @@ def _split_prompt(line: str):
     if not line or not ("a" <= line[0] <= "z"):
         return None
     i, n = 0, len(line)
-    while i < n and (line[i].islower() or line[i].isdigit()
-                     or line[i] in "._-"):
+    while i < n and _ascii_user_ch(line[i]):
         i += 1
     if i == 0 or i >= n or line[i] != "@":
         return None
     i += 1
     h0 = i
-    while i < n and (line[i].isalnum() or line[i] == "-"):
+    while i < n and _ascii_host_ch(line[i]):
         i += 1
     if i == h0 or i >= n or line[i] != ":":
         return None
@@ -180,6 +191,21 @@ def _split_prompt(line: str):
     return i + 2, line[i + 2:]
 
 
+def _dcs_data_string(body: str) -> str | None:
+    """Data-string part of a DCS body: the chars after the header's
+    final character (params ``0-?``, intermediates ``SP-/``, one final
+    ``@-~``), or None when no final ever arrived (the reference's hook
+    action never fired, so its unhook collects nothing)."""
+    i, n = 0, len(body)
+    while i < n and "0" <= body[i] <= "?":
+        i += 1
+    while i < n and " " <= body[i] <= "/":
+        i += 1
+    if i < n and "@" <= body[i] <= "~":
+        return body[i + 1:]
+    return None
+
+
 class OracleParser:
     """Feed a whole decoded transcript; read columns off the attributes."""
 
@@ -191,6 +217,13 @@ class OracleParser:
         self.interm = ""
         self.stripped: list[str] = []
         self.events: list[_Event] = []
+        # A8 distinct-string sets (reference vtparser.py:714 unhook
+        # collects device_control_strings, :738 osc_end collects
+        # os_commands); kept as ordered lists here — set semantics are
+        # the aggregation layer's job
+        self.os_commands: list[str] = []
+        self.dcs_strings: list[str] = []
+        self._dcs_is_p = False  # true DCS (ESC P / 0x90) vs SOS/PM/APC
         # line layer
         self.vline = _VisibleLine()
         self.in_vim = False
@@ -247,6 +280,7 @@ class OracleParser:
             elif o in (0x90, 0x98, 0x9E, 0x9F):
                 self.state = DCS
                 self.buf = ""
+                self._dcs_is_p = o == 0x90
             else:
                 self.events.append(_Event("C1", c1=o))
         else:
@@ -262,6 +296,7 @@ class OracleParser:
         elif ch in "PX^_":
             self.state = DCS
             self.buf = ""
+            self._dcs_is_p = ch == "P"
         elif 0x20 <= o <= 0x2F:
             self.buf += ch
         elif 0x30 <= o <= 0x7E:
@@ -339,22 +374,38 @@ class OracleParser:
     def _end_osc(self) -> None:
         sel = self.buf.split(";", 1)[0]
         self.events.append(_Event("OSC", osc_sel=sel))
+        # A8: the reference's osc_put/osc_end collect the FULL control
+        # string (vtparser.py:729-738), terminator excluded
+        self.os_commands.append(self.buf)
         if sel == "0":
             self.line_had_osc0 = True
+        self.state = GROUND
+
+    def _end_dcs(self) -> None:
+        self.events.append(_Event("DCS"))
+        if self._dcs_is_p:
+            # A8: the reference collects the DATA string only — chars
+            # after the header's final (hook fires at the final,
+            # vtparser.py:687-703; put collects after it, unhook adds
+            # the string, :704-714). A DCS terminated before any final
+            # char never hooks, so nothing is collected. SOS/PM/APC
+            # (X ^ _ introducers) are ignore-state strings in the
+            # reference, never collected.
+            data = _dcs_data_string(self.buf)
+            if data is not None:
+                self.dcs_strings.append(data)
         self.state = GROUND
 
     def _dcs(self, ch: str) -> None:
         if self._osc_escape_pending:
             self._osc_escape_pending = False
             if ch == "\\":
-                self.events.append(_Event("DCS"))
-                self.state = GROUND
+                self._end_dcs()
                 return
             self.buf += "\x1b" + ch
             return
         if ord(ch) == 0x9C:
-            self.events.append(_Event("DCS"))
-            self.state = GROUND
+            self._end_dcs()
         elif ch == "\x1b":
             self._osc_escape_pending = True
         else:
@@ -491,6 +542,8 @@ def oracle_parse_doc(text: str) -> dict:
         "n_app_mode": p.n_app_mode,
         "n_devstat": n_devstat,
         "n_edit_warnings": p.n_edit_warnings,
+        "os_commands": list(p.os_commands),
+        "dcs_strings": list(p.dcs_strings),
     }
 
 

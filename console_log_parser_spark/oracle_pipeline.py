@@ -68,6 +68,8 @@ def routed_rows(sf_dir: str = "/root/testdata/sf0.01") -> tuple:
             "cmd_lines_routed": cmds,
             "cmd_lines_all": p["cmd_lines"],
             "suppress": suppress,
+            "os_commands": p["os_commands"],
+            "dcs_strings": p["dcs_strings"],
         })
     return tuple(rows)
 
@@ -158,6 +160,31 @@ def source_rollup_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     rows = [(route, src, *a) for (route, src), a in sorted(
         agg.items(), key=lambda kv: (kv[0][0] or "", kv[0][1] or ""))]
     return _values_sql(["route", "source", "n_rows", "sum_n_tok"], rows)
+
+
+def os_commands_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """A8 distinct-string sets per sink: OSC control strings + DCS data
+    strings (reference vtparser.py:714, :738), recomputed from the
+    char-FSM oracle's collected lists."""
+    by_sink: dict[str, list] = defaultdict(lambda: [0, [], []])
+    for r in routed_rows(sf_dir):
+        a = by_sink[r["sink"]]
+        a[0] += 1
+        a[1].extend(r["os_commands"])
+        a[2].extend(r["dcs_strings"])
+    rows = []
+    for sink in sorted(by_sink):
+        n_docs, oscs, dcss = by_sink[sink]
+        rows.append((
+            sink, n_docs,
+            len(oscs), len(set(oscs)),
+            min(oscs) if oscs else None,
+            max(oscs) if oscs else None,
+            len(dcss), len(set(dcss)),
+        ))
+    return _values_sql(
+        ["sink", "n_docs", "n_osc", "n_osc_distinct", "osc_min",
+         "osc_max", "n_dcs", "n_dcs_distinct"], rows)
 
 
 def app_mode_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:

@@ -66,10 +66,16 @@ def write_routed(routed: DataFrame, location: str,
     if "/" not in location and iceberg_available(spark):
         writer = routed.writeTo(location).using("iceberg")
         if mode == "append":
-            try:
+            # Gate the create-fallback on table EXISTENCE, not on
+            # append raising: an append can fail for many reasons
+            # (commit conflict, schema mismatch, transient I/O) and
+            # falling back to createOrReplace() on any of them would
+            # silently REPLACE — i.e. destroy — the existing table.
+            # The checkpoint/resume story depends on append-only
+            # semantics, so real append failures must propagate.
+            if spark.catalog.tableExists(location):
                 writer.append()
-            except Exception:
-                # first write: table does not exist yet
+            else:
                 writer.partitionedBy(routed.sink).createOrReplace()
         else:
             writer.createOrReplace()

@@ -95,17 +95,26 @@ def _sessionize_fn(key: tuple, pdf_iter: Iterator[pd.DataFrame],
     micro-batches; a >30 min gap opens a new session. Rows within each
     batch are sorted by event time before folding (the streaming twin
     of the batch lag() sessionizer)."""
+    import numpy as np
+
     last_ts, n_sessions, n_events = (
         state.get if state.exists else (None, 0, 0))
     for pdf in pdf_iter:
         pdf = pdf.sort_values(["ts", "event_id"])
         # pandas datetime64[ns] -> microseconds since epoch
-        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
-        for t in ts_us:
-            if last_ts is None or t - last_ts > SESSION_GAP_US:
-                n_sessions += 1
-            last_ts = t
-            n_events += 1
+        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        if len(ts_us) == 0:
+            continue
+        # vectorized fold: new sessions inside the batch are the
+        # sorted gaps > GAP; the carried-state boundary adds one more
+        # when the batch's first event opens a session. No per-event
+        # Python — micro-batches of millions of rows stay numpy-side.
+        n_new = int((np.diff(ts_us) > SESSION_GAP_US).sum())
+        if last_ts is None or int(ts_us[0]) - last_ts > SESSION_GAP_US:
+            n_new += 1
+        n_sessions += n_new
+        n_events += len(ts_us)
+        last_ts = int(ts_us[-1])
     state.update((last_ts, n_sessions, n_events))
     # NB: no state timeout — an AvailableNow drain must terminate once
     # the source is empty, and pending processing-time timeouts would

@@ -89,3 +89,60 @@ def test_editing_ops_unit():
     assert ansi.build_line("junk\rgood") == "good"
     assert ansi.build_line("ab\x1b[5Cz") == "ab     z"
     assert ansi.build_line("hello\x1b[2G_") == "h_llo"
+
+
+# --- P5 / UTF-8 margin tests (SURVEY §7 risk register) --------------------
+
+@pytest.mark.parametrize("text", [
+    # GR range 0xA0-0xFF is printable data (the reference folds GR to
+    # GL through its table, vtparser.py:204-213; the engine's
+    # decode-before-match design sees the decoded characters directly)
+    "caf\xe9 latte \xa0\xff\xfe\r\n",
+    "alice@box:~/w$ echo na\xefve\r\n",
+    "\x1b[31m\xe9\xa0\x1b[0m styled GR\n",
+    "GR next to C1: \xa0\x85\xff\n",
+    "GR inside OSC \x1b]0;caf\xe9\x07 and after\n",
+    # truncated escapes at end-of-document, each introducer family
+    "truncated csi at eod \x1b[38;5",
+    "truncated csi interm \x1b[1;2 ",
+    "truncated osc at eod \x1b]0;half title",
+    "truncated dcs at eod \x1bPq#0;partial",
+    "truncated esc at eod \x1b",
+    "truncated esc interm at eod \x1b(",
+    "gr then truncation \xe9\x1b[12",
+])
+def test_p5_gr_and_eod_margins_engine_eq_oracle(text):
+    e = ansi.parse_doc(text)
+    o = oracle.oracle_parse_doc(text)
+    for k in KEYS:
+        assert e[k] == o[k], (k, repr(text))
+
+
+def test_p5_gr_chars_survive_strip_and_replay():
+    # GR chars are kept by the strip (they are data, not control) and
+    # flow through the LineBuilder replay unchanged
+    s = ansi.strip_ansi("\x1b[31m\xa0caf\xe9\xff\x1b[0m")
+    assert s == "\xa0caf\xe9\xff"
+    assert ansi.build_line("x\xa0y\x08z") == "x\xa0z"
+
+
+def test_invalid_codepoint_tokens_decode_to_replacement():
+    # invalid-UTF-32 boundary at the Arrow decode (operators/parse.py
+    # decode_token_lists, errors="replace"): surrogates and
+    # out-of-range values become U+FFFD, never an exception, and list
+    # offsets stay aligned (one output char per token)
+    import pyarrow as pa
+
+    from console_log_parser_spark.operators.parse import decode_token_lists
+
+    vals = [0x41, 0xD800, 0x42, 0x7FFFFFFF, 0x1F600, -1, 0x43]
+    col = pa.ListArray.from_arrays(
+        pa.array([0, len(vals)], pa.int32()), pa.array(vals, pa.int32()))
+    docs, offsets = decode_token_lists(col)
+    assert docs == ["A�B�\U0001F600�C"]
+    assert list(offsets) == [0, len(vals)]
+    # and the engine/oracle twins agree on the replaced text
+    e = ansi.parse_doc(docs[0])
+    o = oracle.oracle_parse_doc(docs[0])
+    for k in KEYS:
+        assert e[k] == o[k], k

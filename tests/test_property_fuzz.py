@@ -14,6 +14,7 @@ from hypothesis import given, settings, strategies as st
 
 from console_log_parser_spark import oracle
 from console_log_parser_spark.functions import ansi
+from console_log_parser_spark.operators import extract_sets
 
 KEYS = ["stripped", "seq_hist", "n_events", "n_csi", "n_osc", "n_esc",
         "n_dcs", "n_sgr", "n_c1", "severity", "n_debug", "n_info",
@@ -21,9 +22,13 @@ KEYS = ["stripped", "seq_hist", "n_events", "n_csi", "n_osc", "n_esc",
         "cmd_lines", "n_vim", "n_unparsed",
         "n_app_mode", "n_devstat", "n_edit_warnings"]
 
+# GR-range material (P5, vtparser.py:204-213): 0xA0-0xFF characters are
+# printable data to both implementations — between words, inside
+# escape-adjacent positions, and as bare atoms
 _WORDS = ["make", "test", "ok", "x=1", "INFO", "ERROR", "WARN", "DEBUG",
           "path/to", "2024-03-01 10:20:30", "2024-03-01T10:20:30.5",
-          "a", "~", "$", "@", ";", "end."]
+          "a", "~", "$", "@", ";", "end.",
+          "caf\xe9", "\xa0", "\xff\xfe", "na\xefve"]
 
 _SGR = ["\x1b[0m", "\x1b[m", "\x1b[1m", "\x1b[31m", "\x1b[31;44m",
         "\x1b[38;5;208m", "\x1b[48;2;10;20;30m", "\x1b[22m", "\x1b[24m",
@@ -37,6 +42,14 @@ _OTHER_SEQ = ["\x1b]0;win title\x07", "\x1b]2;t\x1b\\", "\x1b(B",
               "\x1b=", "\x1b>", "\x1bPq#0;1;2~~\x1b\\", "\x9b31m",
               "\x9b0m", "\x85", "\x84", "\x9d0;c1 title\x07",
               "\x1b[?25h", "\x1b[?25l", "\x1b[6n", "\x1b[0c",
+              # A8 set-collection margins: DCS with 8-bit introducer /
+              # ST terminator, DCS with params+intermediates before the
+              # final, headerless DCS (no final -> nothing collected),
+              # SOS/PM/APC strings (never collected), OSC with ST,
+              # OSC with GR payload
+              "\x90q8bit\x9c", "\x1bP1;2 !q data\x1b\\", "\x1bP;;\x1b\\",
+              "\x1bXsos str\x1b\\", "\x1b^pm\x9c", "\x9fapc\x1b\\",
+              "\x1b]52;c;Zm9v\x9c", "\x1b]0;caf\xe9 \xa0title\x07",
               # P8 app-mode material: adjacent pairs (enter/exit),
               # bare halves, near-miss (text between), \x9b form, DA
               "\x1b[?1h\x1b=", "\x1b[?1l\x1b>", "\x1b[?1h", "\x1b[?1l",
@@ -87,3 +100,6 @@ def test_engine_eq_oracle_fuzz(atoms, tail):
     o = oracle.oracle_parse_doc(text)
     for k in KEYS:
         assert e[k] == o[k], (k, repr(text))
+    # A8 twins: regex set-extractors vs the FSM's collected lists
+    assert extract_sets.os_commands(text) == o["os_commands"], repr(text)
+    assert extract_sets.dcs_strings(text) == o["dcs_strings"], repr(text)
