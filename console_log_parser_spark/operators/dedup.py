@@ -285,7 +285,6 @@ def simhash(df: DataFrame, bits: int = 64, id_col: str = "doc_id",
     words = df.select(
         id_col, F.explode(F.expr(
             f"split({text_col}, ' ')")).alias("w"))
-    wc = words.groupBy(id_col, "w").agg(F.count("*").alias("cnt"))
     # two md5 halves -> one 63-bit value (portable; hi is masked to 59
     # bits before the shift so no engine can overflow a signed 64-bit)
     h_lo = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10) \
@@ -294,14 +293,21 @@ def simhash(df: DataFrame, bits: int = 64, id_col: str = "doc_id",
         .cast("long")
     h = h_lo.bitwiseXOR(
         F.shiftleft(h_hi.bitwiseAND(F.lit((1 << 59) - 1)), 4))
-    hashed = wc.select(id_col, "cnt", h.alias("h"))
+    hashed = words.select(id_col, h.alias("h"))
     # 64 conditional-sum aggregate columns in ONE hash-agg pass (with
     # map-side partial combine) instead of collecting a 64-long array
-    # per word and folding arrays per doc — same result, ~5x cheaper
-    signed = F.col("cnt")
+    # per word and folding arrays per doc — same result, ~5x cheaper.
+    # Weighting is per OCCURRENCE: sum over distinct words of
+    # cnt_w * (±bit) == sum over occurrences of (±bit), so the former
+    # (doc_id, word) pre-count stage — a full shuffle of word STRINGS
+    # plus a second aggregation — is dropped; the single remaining
+    # exchange ships 64 partial-sum longs per doc, and the md5 work
+    # moves into the map side of the same stage. At 100 TB the string
+    # shuffle was the bandwidth hog; here it halves local runtime.
+    one = F.lit(1)
     sums = hashed.groupBy(id_col).agg(*[
         F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
-                     signed).otherwise(-signed)).alias(f"s{i}")
+                     one).otherwise(-one)).alias(f"s{i}")
         for i in range(bits)])
     from functools import reduce
     zero = F.lit(0).cast("long")
@@ -325,11 +331,14 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     using 4x16-bit block LSH (a pair within distance 3 must agree on
     at least one of 4 blocks) to avoid the O(n^2) comparison."""
     sh = simhash(df, 64, id_col, text_col)
+    # bucket id = block*2^16 + block value, one LONG — integer join
+    # keys hash/compare cheaper than "b:12345" strings and shuffle as
+    # 8 fixed bytes; same bucketing semantics (share >=1 block value)
     blocks = sh.select(
         id_col, "simhash",
         F.posexplode(F.expr(
             "transform(sequence(0, 3), b -> "
-            "concat_ws(':', b, (simhash >> (b * 16)) & 65535))"))
+            "bigint(b) * 65536 + ((simhash >> (b * 16)) & 65535))"))
         .alias("block", "bucket"))
     a = blocks.select(F.col(id_col).alias("doc_a"),
                       F.col("simhash").alias("sh_a"), "bucket")

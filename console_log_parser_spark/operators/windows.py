@@ -38,8 +38,29 @@ def range_partitioned_lag(df: DataFrame, order_cols: list[str],
     input schema plus ``out_col``.
     """
     spark = df.sparkSession
-    n = int(num_partitions
-            or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if num_partitions is None:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # Auto-narrow for small inputs, the same decision AQE's
+        # partition coalescing makes for shuffles: when Catalyst's
+        # size estimate for the input (file-size-based for scans,
+        # propagated for unions — no job is run) fits one comfortable
+        # partition, a 32-way range exchange is pure overhead — the
+        # sampling pass, per-partition sorts and two boundary
+        # broadcasts cost more than the single sort they avoid. At
+        # scale the estimate exceeds the bound and the range path is
+        # taken unchanged; an estimate failure falls back to the
+        # scale-safe width, never to the single partition.
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+            bound = int(spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", str(128 << 20)))
+            if est <= bound:
+                n = 1
+        except Exception:
+            pass
+    else:
+        n = int(num_partitions)
     if n == 1:
         # single-partition fast path: one range partition IS the global
         # order — the in-partition lag is already exact, and the

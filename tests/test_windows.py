@@ -103,3 +103,39 @@ def test_driver_queries_have_no_unpartitioned_window(spark):
     for name in ("events_asof_interleave", "cast_hops"):
         df = em.queries()[name](spark, sf_dir)
         assert not _has_unpartitioned_window(df), name
+
+
+def test_auto_narrows_small_input_to_single_partition(spark):
+    # default (auto) width: a tiny input takes the single-partition
+    # fast path — no range exchange, no boundary machinery
+    df = (spark.range(200)
+          .select((F.col("id") % 10).alias("ts"), F.col("id").alias("k"),
+                  (F.col("id") % 3).alias("v")))
+    out = range_partitioned_lag(df, ["ts", "k"], "v", "prev")
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" not in plan
+    got = _rows(out, ["ts", "k"], "prev")
+    want = _rows(_naive_lag(df, ["ts", "k"], "v", "prev"),
+                 ["ts", "k"], "prev")
+    assert got == want
+
+
+def test_auto_keeps_range_path_when_estimate_exceeds_bound(spark):
+    # shrink the bound so the same tiny input is "large": the
+    # scale-safe range path must be chosen
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16")
+    try:
+        df = (spark.range(200)
+              .select((F.col("id") % 10).alias("ts"),
+                      F.col("id").alias("k"),
+                      (F.col("id") % 3).alias("v")))
+        out = range_partitioned_lag(df, ["ts", "k"], "v", "prev")
+        plan = out._jdf.queryExecution().executedPlan().toString().lower()
+        assert "rangepartitioning" in plan
+        got = _rows(out, ["ts", "k"], "prev")
+        want = _rows(_naive_lag(df, ["ts", "k"], "v", "prev"),
+                     ["ts", "k"], "prev")
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

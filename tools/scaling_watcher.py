@@ -26,7 +26,16 @@ def main():
     deadline = time.time() + float(
         os.environ.get("SPARK_GRAFT_WATCH_SECS", "7200"))
     poll = float(os.environ.get("SPARK_GRAFT_WATCH_POLL", "300"))
+    lock = os.environ.get("SPARK_GRAFT_DEV_LOCK",
+                          "/tmp/spark_graft_dev.lock")
     while time.time() < deadline:
+        if os.path.exists(lock):
+            # developer is running their own Spark work; their JVMs
+            # would contaminate the level timings (and vice versa)
+            print(json.dumps({"watcher": "dev lock present, waiting"}),
+                  flush=True)
+            time.sleep(poll)
+            continue
         hw = hardware_ceiling(secs=4.0)
         eff = hw["efficiency"]
         load1 = os.getloadavg()[0]
@@ -34,7 +43,7 @@ def main():
                           "load1": round(load1, 2)}), flush=True)
         # the spin probe itself needs an idle box to be meaningful;
         # require low background load AND a passing ceiling
-        if eff >= gate and load1 < 4.0:
+        if eff >= gate and load1 < 4.0 and not os.path.exists(lock):
             env = dict(os.environ, SPARK_GRAFT_MIN_CEILING=str(gate))
             r = subprocess.run(
                 [sys.executable,
