@@ -76,3 +76,39 @@ def test_parse_stage_extractor_plugin(spark, small_dataset):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInArrow") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_extract_sets_columns_through_arrow_stage(spark):
+    # A8 extractor columns through the REAL Arrow stage, with synthetic
+    # OSC + DCS content (the corpus has no DCS): schema, batch shape
+    # and values must match the char-FSM oracle's collected lists
+    from console_log_parser_spark import oracle
+    from console_log_parser_spark.operators.extract_sets import (
+        dcs_strings_extractor, os_commands_extractor)
+    from console_log_parser_spark.operators.parse import parse_stage
+
+    texts = [
+        "\x1b]0;alpha\x07plain\r\n",
+        "\x1bP1;2q data-one\x1b\\middle\x1b]2;beta\x1b\\\r\n",
+        "\x90!~eight-bit\x9c and \x1bP;;\x1b\\headerless\r\n",
+        "\x1bXsos ignored\x1b\\no sets here\r\n",
+        "truncated \x1b]0;half",
+    ]
+    rows = [(f"d{i}", [int(c) for c in map(ord, t)], len(t), "src_000")
+            for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    out = parse_stage(df, extractors=(
+        os_commands_extractor(), dcs_strings_extractor()))
+    got = {r["doc_id"]: (r["os_commands"], r["dcs_strings"])
+           for r in out.select("doc_id", "os_commands",
+                               "dcs_strings").collect()}
+    for i, t in enumerate(texts):
+        o = oracle.oracle_parse_doc(t)
+        assert got[f"d{i}"] == (o["os_commands"], o["dcs_strings"]), t
+    # explicit expectations, independent of both implementations
+    assert got["d0"] == (["0;alpha"], [])
+    assert got["d1"] == (["2;beta"], [" data-one"])
+    assert got["d2"] == ([], ["eight-bit"])
+    assert got["d3"] == ([], [])
+    assert got["d4"] == ([], [])
