@@ -68,7 +68,23 @@ def _median(xs):
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
+def _total_busy_cpu_secs() -> float:
+    """Whole-box busy CPU seconds since boot (/proc/stat, all cores)."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    idle = vals[3] + vals[4]  # idle + iowait
+    return (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
+
+
 def run_bench(cpus: int, sf_dir: str) -> dict:
+    """Run one bench invocation pinned to `cpus` CPUs; returns the
+    bench JSON plus ``foreign_cores`` — the average number of CPU cores
+    consumed during the invocation by processes OTHER than the bench
+    subprocess tree (whole-box busy CPU time from /proc/stat minus the
+    child tree's own rusage). The box is multi-tenant; a level whose
+    measurement window another tenant stomped on must be identifiable
+    from the ledger itself, not from recollection."""
+    import resource
     import shutil as _sh
     if _sh.which("taskset") is None:
         raise RuntimeError(
@@ -92,15 +108,25 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     # sandbox emulation of an 8-executor vs 32-executor cluster.
     cmd = ["taskset", "-c", f"0-{cpus - 1}",
            sys.executable, os.path.join(REPO, "bench.py")]
+    wall0 = time.time()
+    busy0 = _total_busy_cpu_secs()
+    ru0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     out = subprocess.run(cmd,
                          env=env, capture_output=True, text=True,
                          timeout=1800)
+    wall = max(time.time() - wall0, 1e-6)
+    busy = _total_busy_cpu_secs() - busy0
+    ru1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    ours = (ru1.ru_utime - ru0.ru_utime) + (ru1.ru_stime - ru0.ru_stime)
+    foreign_cores = max(0.0, (busy - ours) / wall)
     lines = out.stdout.strip().splitlines()
     if out.returncode != 0 or not lines:
         raise RuntimeError(
             f"bench.py failed (rc={out.returncode}) at cpus={cpus}:\n"
             + out.stderr[-2000:])
-    return json.loads(lines[-1])
+    r = json.loads(lines[-1])
+    r["foreign_cores"] = round(foreign_cores, 2)
+    return r
 
 
 def main():
@@ -132,13 +158,18 @@ def main():
         }))
         return
     results = {}
-    for cpus in levels:
+    # Measure the WIDEST level first: the watcher green-lights a clean
+    # window, and the 32-core level is the one a transient foreign
+    # tenant damages most (it needs every core), so it gets the
+    # freshest part of the window.
+    for cpus in sorted(levels, reverse=True):
         rs = [run_bench(cpus, sf_dir) for _ in range(runs)]
         med = _median([r["pipeline"]["seq_per_sec"] for r in rs])
         med_tok = _median([r["pipeline"]["tok_per_sec"] for r in rs])
         results[cpus] = {
             "seq_per_sec": med, "tok_per_sec": med_tok,
             "all_runs": [r["pipeline"]["seq_per_sec"] for r in rs],
+            "foreign_cores": [r.get("foreign_cores") for r in rs],
             "sample": rs[-1],
         }
     eff = (results[32]["seq_per_sec"] / results[8]["seq_per_sec"]) / 4.0
@@ -172,6 +203,27 @@ def main():
         summary["efficiency_16_to_32"] = round(
             (results[32]["seq_per_sec"]
              / results[16]["seq_per_sec"]) / 2.0, 3)
+    # Foreign-load telemetry + principled auto-invalidation: every
+    # invocation records how many CPU cores OTHER processes burned
+    # during its window. If any invocation of the claim-bearing 8/32
+    # levels saw more than FOREIGN_BOUND cores of outside load, the
+    # row marks ITSELF invalid with the recorded numbers — the
+    # exclusion is mechanical and evidence-carrying, never a post-hoc
+    # judgment call (the row stays in the ledger either way).
+    summary["foreign_cores"] = {
+        k: results[k]["foreign_cores"] for k in results}
+    FOREIGN_BOUND = 1.5
+    stomped = {k: v for k, v in summary["foreign_cores"].items()
+               if k in (8, 32)
+               and any(f is not None and f > FOREIGN_BOUND for f in v)}
+    if stomped:
+        summary["invalid"] = True
+        summary["invalid_reason"] = (
+            "auto: foreign load exceeded "
+            f"{FOREIGN_BOUND} cores during claim-bearing level(s) "
+            f"{sorted(stomped)} — per-invocation foreign_cores "
+            f"{stomped}; a multi-tenant stomp measures the neighbor, "
+            "not the engine")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # append-only invocation history: the claim must be judged over
     # ALL harness invocations ever run, not the latest/best one
@@ -253,6 +305,13 @@ the hardware allows.
 
 Raw per-run sequences/sec: local[8]={r8['all_runs']},
 local[32]={r32['all_runs']}.
+
+Foreign-load telemetry (avg CPU cores burned by OTHER processes
+during each invocation, from /proc/stat minus the bench tree's own
+rusage): {json.dumps(summary['foreign_cores'])}. An invocation of a
+claim-bearing level (8 or 32) that saw > 1.5 foreign cores marks the
+whole row invalid automatically, with the numbers as the recorded
+reason — exclusion is mechanical, never post-hoc.
 
 ## Invocation history (append-only, BENCH/scaling_history.jsonl)
 
