@@ -76,16 +76,56 @@ def _total_busy_cpu_secs() -> float:
     return (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
 
 
+def _tree_cpu_sampler(root_pid: int, acc: dict, stop_evt):
+    """Accumulate utime+stime jiffies for the whole process TREE under
+    root_pid by sampling /proc once a second. getrusage(RUSAGE_CHILDREN)
+    cannot do this job: the bench child's JVM (and the JVM's python
+    workers) are not reaped by US, so their CPU never rolls up — the
+    first telemetry version counted the bench's own JVM as 'foreign'
+    (ledger row 7). Per-pid max keeps each counter monotone across
+    samples; a process's final <=1 s slice before exit is the only
+    undercount (workers are long-lived)."""
+    from collections import defaultdict
+    while not stop_evt.is_set():
+        seen = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat", "rb") as f:
+                    s = f.read().decode("latin1")
+                rp = s.rindex(")")
+                fields = s[rp + 2:].split()
+                seen[int(d)] = (int(fields[1]),
+                                int(fields[11]) + int(fields[12]))
+            except (OSError, ValueError, IndexError):
+                continue
+        kids = defaultdict(list)
+        for pid, (ppid, _) in seen.items():
+            kids[ppid].append(pid)
+        tree, stack = set(), [root_pid]
+        while stack:
+            p = stack.pop()
+            if p in tree:
+                continue
+            tree.add(p)
+            stack.extend(kids.get(p, ()))
+        for pid in tree:
+            if pid in seen:
+                acc[pid] = max(acc.get(pid, 0), seen[pid][1])
+        stop_evt.wait(1.0)
+
+
 def run_bench(cpus: int, sf_dir: str) -> dict:
     """Run one bench invocation pinned to `cpus` CPUs; returns the
     bench JSON plus ``foreign_cores`` — the average number of CPU cores
     consumed during the invocation by processes OTHER than the bench
-    subprocess tree (whole-box busy CPU time from /proc/stat minus the
-    child tree's own rusage). The box is multi-tenant; a level whose
+    process tree (whole-box busy CPU time from /proc/stat minus the
+    tree's sampled CPU time). The box is multi-tenant; a level whose
     measurement window another tenant stomped on must be identifiable
     from the ledger itself, not from recollection."""
-    import resource
     import shutil as _sh
+    import threading
     if _sh.which("taskset") is None:
         raise RuntimeError(
             "taskset not found: the scaling harness requires cpuset "
@@ -110,15 +150,27 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
            sys.executable, os.path.join(REPO, "bench.py")]
     wall0 = time.time()
     busy0 = _total_busy_cpu_secs()
-    ru0 = resource.getrusage(resource.RUSAGE_CHILDREN)
-    out = subprocess.run(cmd,
-                         env=env, capture_output=True, text=True,
-                         timeout=1800)
+    proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    acc: dict = {}
+    stop_evt = threading.Event()
+    sampler = threading.Thread(target=_tree_cpu_sampler,
+                               args=(proc.pid, acc, stop_evt),
+                               daemon=True)
+    sampler.start()
+    try:
+        stdout, stderr = proc.communicate(timeout=1800)
+    finally:
+        stop_evt.set()
+        sampler.join(timeout=5)
     wall = max(time.time() - wall0, 1e-6)
     busy = _total_busy_cpu_secs() - busy0
-    ru1 = resource.getrusage(resource.RUSAGE_CHILDREN)
-    ours = (ru1.ru_utime - ru0.ru_utime) + (ru1.ru_stime - ru0.ru_stime)
+    ours = sum(acc.values()) / os.sysconf("SC_CLK_TCK")
     foreign_cores = max(0.0, (busy - ours) / wall)
+
+    class out:  # keep the rc/stdout/stderr shape used below
+        returncode = proc.returncode
+    out.stdout, out.stderr = stdout, stderr
     lines = out.stdout.strip().splitlines()
     if out.returncode != 0 or not lines:
         raise RuntimeError(
@@ -224,6 +276,20 @@ def main():
             f"{sorted(stomped)} — per-invocation foreign_cores "
             f"{stomped}; a multi-tenant stomp measures the neighbor, "
             "not the engine")
+    elif min_ceiling and hw["efficiency"] < min_ceiling:
+        # symmetric to the pre-run gate: the window was green-lit but
+        # degraded DURING the run — the post-run spin probe (the same
+        # instrument as the gate) measures below the gate, so the run
+        # happened partly under conditions the gate exists to exclude.
+        # Mechanical and pre-registered, like the foreign-load rule.
+        summary["invalid"] = True
+        summary["invalid_reason"] = (
+            "auto: post-run hardware ceiling "
+            f"{hw['efficiency']:.3f} fell below the pre-registered "
+            f"gate {min_ceiling} (pre-run was "
+            f"{pre_hw['efficiency']:.3f}) — the window degraded "
+            "mid-run; the spin probe measures the hypervisor, not "
+            "the engine")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # append-only invocation history: the claim must be judged over
     # ALL harness invocations ever run, not the latest/best one
