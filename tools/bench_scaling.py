@@ -334,10 +334,25 @@ def main():
             "loss concentrates in the 16->32 step, where the "
             "hypervisor's oversubscription ceiling bites; the 8->16 "
             "step sits in the hardware-flat range.\n")
+    best_valid = max((h for h in valid), key=lambda h: h["value"],
+                     default=None)
+    headline = (
+        "## The claim\n\n"
+        f"**Durable scaling claim (median over all {len(valid)} valid "
+        f"ledger rows, {len(history)} recorded): raw 8->32 efficiency "
+        f"= {hist_median}.** Best honest valid invocation: "
+        + (f"{best_valid['value']:.3f} (normalized "
+           f"{best_valid.get('normalized_to_hw_ceiling', 0):.3f})"
+           if best_valid else "n/a")
+        + ". The sections below describe the LATEST invocation"
+        + (" — which auto-invalidated itself (see history table and "
+           "ledger reason; its numbers carry no claim weight)"
+           if summary.get("invalid") else "")
+        + ".\n\n")
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — measured throughput & scaling
 
-Protocol per BASELINE.md: identical parse->enrich->route->aggregate
+{headline}Protocol per BASELINE.md: identical parse->enrich->route->aggregate
 job, identical deterministic input (seed=42 transcripts, cardinality =
 documents({sf_dir}) x amplification); each level runs under
 `taskset -c 0-(k-1) ... --master local[k]` so the WHOLE process tree
