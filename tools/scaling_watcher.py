@@ -36,14 +36,21 @@ def main():
                   flush=True)
             time.sleep(poll)
             continue
+        # instantaneous busy-core probe (1 s /proc/stat delta): the
+        # 1-min loadavg decays far slower than real activity and was
+        # observed blocking an otherwise-qualifying window
+        from tools.bench_scaling import _total_busy_cpu_secs
+        b0 = _total_busy_cpu_secs()
+        time.sleep(1.0)
+        busy_cores = _total_busy_cpu_secs() - b0
         hw = hardware_ceiling(secs=4.0)
         eff = hw["efficiency"]
-        load1 = os.getloadavg()[0]
         print(json.dumps({"watch_ceiling": round(eff, 3),
-                          "load1": round(load1, 2)}), flush=True)
+                          "busy_cores": round(busy_cores, 2)}),
+              flush=True)
         # the spin probe itself needs an idle box to be meaningful;
-        # require low background load AND a passing ceiling
-        if eff >= gate and load1 < 4.0 and not os.path.exists(lock):
+        # require a near-idle VM AND a passing ceiling
+        if eff >= gate and busy_cores < 2.0 and not os.path.exists(lock):
             env = dict(os.environ, SPARK_GRAFT_MIN_CEILING=str(gate))
             r = subprocess.run(
                 [sys.executable,
