@@ -336,18 +336,42 @@ class LineBuilder:
         return "".join(self.line)
 
 
+# Editing-op hint: a line with NO backspace/CR and NO CSI whose final
+# is one of the line-editing ops (@ C D G K P X) replays to exactly
+# its escape-stripped self with zero warnings — the LineBuilder walk
+# is skipped entirely for such lines (the common case: prompt lines
+# whose command needed no editing). The CSI pattern mirrors _CSI with
+# the final narrowed to the editing set; false POSITIVES only cost the
+# slow path, false negatives are impossible (any editing op contains
+# \x08, \x0d or an editing-final CSI by construction).
+# C0 class: everything except TAB (printable to the builder) and ESC
+# (sequence introducer, stripped identically by both paths) — the
+# builder DROPS stray C0 like \x0b/\x07 while a bare strip would keep
+# them, so any such char must take the slow path.
+_EDIT_HINT_RE = re.compile(
+    r"[\x00-\x08\x0b-\x1a\x1c-\x1f]"
+    r"|(?:\x1b\[|\x9b)[0-?]*[ -/]*[@CDGKPX]")
+
+# finals whose CSI records drive the LineBuilder (LineBuilder.csi
+# ignores every other final, so parsing those params is wasted work)
+_EDIT_FINALS = frozenset("@CDGKPX")
+
+
 def build_line_counted(raw_line: str) -> tuple[str, int]:
     """Reconstruct the visible text of one raw (LF-free) line; also
     return the edit-bound warning count (F5 accounting)."""
+    if _EDIT_HINT_RE.search(raw_line) is None:
+        return ANSI_RE.sub("", raw_line), 0
     lb = LineBuilder()
     last = 0
     for m in ANSI_RE.finditer(raw_line):
         if m.start() > last:
             lb.text(raw_line[last : m.start()])
         g = m.group(0)
-        cm = CSI_PARTS_RE.match(g)
-        if cm:
-            lb.csi(cm.group("par"), cm.group("final"))
+        if g[-1] in _EDIT_FINALS:
+            cm = CSI_PARTS_RE.match(g)
+            if cm:
+                lb.csi(cm.group("par"), cm.group("final"))
         last = m.end()
     if last < len(raw_line):
         lb.text(raw_line[last:])

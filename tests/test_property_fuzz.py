@@ -84,6 +84,10 @@ _ATOM = st.one_of(
     st.just("\n"),
     st.just("\r\n"),
     st.just("\t"),
+    # stray C0 controls (BEL, VT, FF, SUB): data in the stripped
+    # stream, DROPPED by the line-replay layer — exercises the
+    # fast/slow path split in build_line_counted
+    st.sampled_from(["\x07", "\x0b", "\x0c", "\x1a"]),
     st.sampled_from(_SGR),
     st.sampled_from(_OTHER_SEQ),
     st.sampled_from(_EDITS),
