@@ -220,10 +220,13 @@ def main():
     ]
     qs = em.queries()
     for name in bench_queries:
-        # report the SECOND execution: the first pays one-time
-        # driver-side codegen compilation (e.g. simhash generates 64
-        # aggregate expressions); production re-executes plans, so the
-        # warm number is the representative one. (Second-run, not
+        # Ad-hoc query protocol (deliberately NOT the pipeline's
+        # plan-reuse protocol): rebuild the DataFrame every execution
+        # and report the SECOND one — the warm-JVM cost a user pays to
+        # run the query once, including driver-side plan construction
+        # and any eager materialization the operator performs (e.g.
+        # minhash's persist lifecycle). Build-once would leak those
+        # real costs out of the timed region. (Second-run, not
         # best-of-N — a fixed protocol can't cherry-pick its fastest.)
         dt = None
         for _ in range(2):
