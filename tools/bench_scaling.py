@@ -264,6 +264,12 @@ def main():
     # judgment call (the row stays in the ledger either way).
     summary["foreign_cores"] = {
         k: results[k]["foreign_cores"] for k in results}
+    try:
+        summary["git_rev"] = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        summary["git_rev"] = None
     FOREIGN_BOUND = 1.5
     stomped = {k: v for k, v in summary["foreign_cores"].items()
                if k in (8, 32)
@@ -336,6 +342,18 @@ def main():
             "step sits in the hardware-flat range.\n")
     best_valid = max((h for h in valid), key=lambda h: h["value"],
                      default=None)
+    # supplementary: the median over rows that carry a git_rev (the
+    # current engine generation — rows 1-4 predate the plan-reuse
+    # protocol and several scaling fixes and can never be re-measured
+    # on current code). Labeled context only; the headline claim stays
+    # the all-history median.
+    gen_vals = [h["value"] for h in valid if h.get("git_rev")]
+    gen_line = ""
+    if gen_vals:
+        gen_line = (
+            f" Supplementary: median over the {len(gen_vals)} valid "
+            "rows measured on the current engine generation "
+            f"(git-stamped rows) = {_median(gen_vals):.3f}.")
     headline = (
         "## The claim\n\n"
         f"**Durable scaling claim (median over all {len(valid)} valid "
@@ -344,7 +362,8 @@ def main():
         + (f"{best_valid['value']:.3f} (normalized "
            f"{best_valid.get('normalized_to_hw_ceiling', 0):.3f})"
            if best_valid else "n/a")
-        + ". The sections below describe the LATEST invocation"
+        + "." + gen_line
+        + " The sections below describe the LATEST invocation"
         + (" — which auto-invalidated itself (see history table and "
            "ledger reason; its numbers carry no claim weight)"
            if summary.get("invalid") else "")
