@@ -305,16 +305,32 @@ def simhash(df: DataFrame, bits: int = 64, id_col: str = "doc_id",
     # exchange ships 64 partial-sum longs per doc, and the md5 work
     # moves into the map side of the same stage. At 100 TB the string
     # shuffle was the bandwidth hog.
-    sums = hashed.groupBy(id_col).agg(*[
-        F.expr(f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 "
-               f"END)").alias(f"s{i}")
-        for i in range(bits)])
+    # Two bit-lanes packed per aggregate column: lane sums are the
+    # COUNTS of occurrences with bit i set (s_i, non-negative, <= n),
+    # so p_i = sum((h>>i)&1 + ((h>>(i+32))&1) << 31) carries exactly
+    # s_i in the low 31 bits and s_{i+32} above them — no lane carry
+    # while n < 2^31 words per doc (a ~8 GB document; the operator's
+    # documented bound). The signed criterion  sum(±bit_i) > 0  is
+    # identically  2*s_i > n , so results are bit-for-bit the same as
+    # the unpacked form while the aggregate runs 32 columns + count
+    # instead of 64 — half the agg buffers and half the expression
+    # parses.
+    half = bits // 2
+    sums = hashed.groupBy(id_col).agg(
+        F.expr("count(*)").alias("n_w"), *[
+            F.expr(f"sum(((h >> {i}) & 1) + (((h >> {i + half}) & 1) "
+                   f"<< 31))").alias(f"p{i}")
+            for i in range(half)])
     # shiftleft wraps at i=63 exactly like the original `1L << i`
     # SQL (and like the DuckDB oracle's 1::BIGINT << 63)
     fold = " | ".join(
-        f"(CASE WHEN s{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        f"(CASE WHEN 2 * (p{i} & 2147483647) > n_w "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        f"ELSE CAST(0 AS BIGINT) END) | "
+        f"(CASE WHEN 2 * (p{i} >> 31) > n_w "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {i + half}) "
         f"ELSE CAST(0 AS BIGINT) END)"
-        for i in range(bits))
+        for i in range(half))
     return sums.selectExpr(id_col, f"({fold}) AS simhash")
 
 
