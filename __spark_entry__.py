@@ -897,6 +897,30 @@ def pipeline_chapters(spark, sf_dir):
             .orderBy("sink"))
 
 
+def doc_sample_mix(spark, sf_dir):
+    """Deterministic dataset sampling + weighted mixing
+    (operators/sampling.py): per-language keep-rates in basis points
+    (derived here formulaically from the language code so the DuckDB
+    oracle can mirror them; production passes a config dimension),
+    applied as a pure map-side md5-bucket filter — no shuffle, no
+    rand(), byte-identical selection on re-run/resume at any scale."""
+    from console_log_parser_spark.operators.sampling import bucket_bp
+    docs = _t(spark, sf_dir, "documents")
+    rate = (F.lit(2000)
+            + (F.ascii(F.substring("lang", 1, 1)) % 7) * F.lit(1000))
+    kept = bucket_bp(F.col("doc_id")) < rate
+    return (docs
+            .groupBy("lang")
+            .agg(F.max(rate).alias("rate_bp"),
+                 F.count("*").alias("n_docs"),
+                 F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+                 F.min(F.when(kept, F.col("doc_id")))
+                 .alias("first_kept"),
+                 F.max(F.when(kept, F.col("doc_id")))
+                 .alias("last_kept"))
+            .orderBy("lang"))
+
+
 def pipeline_os_commands(spark, sf_dir):
     """A8 distinct-string sets (vtparser.py:714 device_control_strings,
     :738 os_commands): per sink, the OSC control strings and DCS data
@@ -970,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_source_rollup": pipeline_source_rollup,
         "events_type_cube": events_type_cube,
         "pipeline_os_commands": pipeline_os_commands,
+        "doc_sample_mix": doc_sample_mix,
         "q1_pricing_summary": q1_pricing_summary,
         "q6_revenue": q6_revenue,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1666,6 +1691,27 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "pipeline_chapters": oracle_pipeline.chapters_sql(sf),
         "pipeline_source_rollup": oracle_pipeline.source_rollup_sql(sf),
         "pipeline_os_commands": oracle_pipeline.os_commands_sql(sf),
+        "doc_sample_mix": """
+            WITH rated AS (
+                SELECT lang, doc_id,
+                       2000 + (ascii(substring(lang, 1, 1)) % 7) * 1000
+                           AS rate_bp,
+                       CAST(('0x' || substring(md5('mix42' || doc_id),
+                                               1, 8)) AS BIGINT) % 10000
+                           AS bucket
+                FROM documents
+            )
+            SELECT lang,
+                   CAST(max(rate_bp) AS BIGINT) AS rate_bp,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN bucket < rate_bp THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_kept,
+                   min(CASE WHEN bucket < rate_bp THEN doc_id END)
+                       AS first_kept,
+                   max(CASE WHEN bucket < rate_bp THEN doc_id END)
+                       AS last_kept
+            FROM rated GROUP BY lang ORDER BY lang
+        """,
         "events_type_cube": """
             SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
                    count(*) AS n, round(sum(value), 2) AS sum_value

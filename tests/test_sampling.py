@@ -1,0 +1,66 @@
+"""Deterministic sampling / mixing (operators/sampling.py)."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from console_log_parser_spark.operators.sampling import (
+    bucket_bp, deterministic_sample, weighted_mix)
+
+
+def _docs(spark, n=2000):
+    return (spark.range(n)
+            .select(F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+                    (F.col("id") % 3).cast("string").alias("source")))
+
+
+def test_sample_deterministic_and_partition_invariant(spark):
+    df = _docs(spark)
+    a = sorted(r["doc_id"] for r in
+               deterministic_sample(df, 3000).collect())
+    b = sorted(r["doc_id"] for r in
+               deterministic_sample(df.repartition(13), 3000).collect())
+    assert a == b and a  # same rows, any partitioning
+    # rate is honest: 30% +- 4 points on 2000 keys
+    assert 0.26 < len(a) / 2000 < 0.34
+    # monotone: a higher rate keeps a superset
+    c = set(r["doc_id"] for r in
+            deterministic_sample(df, 6000).collect())
+    assert set(a) <= c
+
+
+def test_weighted_mix_matches_per_stratum_sampling(spark):
+    df = _docs(spark)
+    rates = spark.createDataFrame(
+        [("0", 1000), ("1", 5000)], "source string, rate_bp int")
+    got = sorted(r["doc_id"] for r in
+                 weighted_mix(df, rates).collect())
+    want = []
+    for src, bp in (("0", 1000), ("1", 5000)):
+        want += [r["doc_id"] for r in deterministic_sample(
+            df.filter(F.col("source") == src), bp).collect()]
+    assert got == sorted(want)
+    # stratum "2" is unlisted -> rate 0 -> fully dropped
+    assert not [d for d in got if int(d[1:]) % 3 == 2]
+
+
+def test_mix_plan_is_map_side_only(spark):
+    # the fact side must not shuffle: broadcast dim + filter only
+    df = _docs(spark)
+    rates = spark.createDataFrame(
+        [("0", 1000)], "source string, rate_bp int")
+    plan = (weighted_mix(df, rates)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffleExchange" not in plan.replace(
+        "BroadcastExchange", "")
+
+
+def test_bucket_portable_value(spark):
+    # pin the md5-prefix bucket against an independently computed value
+    import hashlib
+    row = (spark.range(1)
+           .select(F.lit("d7").alias("k"))
+           .select(bucket_bp(F.col("k"), "mix42").alias("b"))
+           .collect()[0])
+    exp = int(hashlib.md5(b"mix42d7").hexdigest()[:8], 16) % 10000
+    assert row["b"] == exp
