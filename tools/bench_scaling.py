@@ -62,6 +62,42 @@ def hardware_ceiling(levels=(8, 32), secs: float = 5.0) -> dict:
             "efficiency": (rates[hi] / rates[lo]) / (hi / lo)}
 
 
+def membw_ceiling(levels=(8, 32), mb: int = 64, secs: float = 3.0) -> dict:
+    """STREAM-style memory-bandwidth scaling ceiling: per-process numpy
+    copy of an L3-defeating buffer, run at N and 4N processes. The
+    cache-resident spin probe measures ALU oversubscription only; run
+    10 of the ledger passed that gate and still scaled 0.643 because
+    the hypervisor's MEMORY bandwidth was contended — this probe makes
+    that axis measurable. Reported as context (not yet a gate)."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def stream(q):
+        a = np.ones(mb * 131072, dtype=np.float64)  # mb MiB
+        b = np.empty_like(a)
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < secs:
+            np.copyto(b, a)
+            a *= 1.0000001
+            n += 1
+        q.put(n * a.nbytes * 2 / (time.time() - t0))
+
+    rates = {}
+    for nproc in levels:
+        q = mp.Queue()
+        ps = [mp.Process(target=stream, args=(q,)) for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        rates[nproc] = sum(q.get() for _ in range(nproc))
+    lo, hi = levels
+    return {"bytes_per_sec": {k: round(v) for k, v in rates.items()},
+            "efficiency": (rates[hi] / rates[lo]) / (hi / lo)}
+
+
 def _median(xs):
     s = sorted(xs)
     n = len(s)
@@ -226,6 +262,10 @@ def main():
         }
     eff = (results[32]["seq_per_sec"] / results[8]["seq_per_sec"]) / 4.0
     hw = hardware_ceiling()
+    try:
+        bw = membw_ceiling()
+    except Exception:
+        bw = None
     eff_norm = eff / hw["efficiency"] if hw["efficiency"] else eff
     eff_2_8 = ((results[8]["seq_per_sec"] / results[2]["seq_per_sec"]) / 4.0
                if 2 in results else None)
@@ -236,6 +276,8 @@ def main():
         "normalized_to_hw_ceiling": round(eff_norm, 3),
         "hw_ceiling_spin_efficiency": round(hw["efficiency"], 3),
         "hw_ceiling_pre_run": round(pre_hw["efficiency"], 3),
+        "membw_ceiling": (round(bw["efficiency"], 3) if bw else None),
+        "membw_bytes_per_sec": (bw["bytes_per_sec"] if bw else None),
         "min_ceiling_gate": min_ceiling,
         "efficiency_2_to_8": round(eff_2_8, 3) if eff_2_8 else None,
         "seq_per_sec": {k: v["seq_per_sec"] for k, v in results.items()},
