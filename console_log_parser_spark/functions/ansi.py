@@ -37,10 +37,14 @@ _OSC = r"(?:\x1b\]|\x9d)[^\x07\x1b\x9c]*(?:\x07|\x1b\\|\x9c)"
 _DCS = r"(?:\x1b[PX^_]|[\x90\x98\x9e\x9f])[^\x1b\x9c]*(?:\x1b\\|\x9c)"
 _ESC2 = r"\x1b[ -/]*[0-~]"
 _C1 = r"[\x80-\x9f]"
-_EOD_CSI = r"(?:\x1b\[|\x9b)[0-?]*[ -/]*$"
-_EOD_OSC = r"(?:\x1b\]|\x9d)[^\x07\x9c]*$"
-_EOD_DCS = r"(?:\x1b[PX^_]|[\x90\x98\x9e\x9f])[^\x9c]*$"
-_EOD_ESC = r"\x1b[ -/]*$"
+_EOD_CSI = r"(?:\x1b\[|\x9b)[0-?]*[ -/]*\Z"
+_EOD_OSC = r"(?:\x1b\]|\x9d)[^\x07\x9c]*\Z"
+_EOD_DCS = r"(?:\x1b[PX^_]|[\x90\x98\x9e\x9f])[^\x9c]*\Z"
+_EOD_ESC = r"\x1b[ -/]*\Z"
+# \Z, not $: $ also matches before a TRAILING newline, which would
+# misclassify a sequence interrupted by the document's final "\n" as
+# truncated-at-EOD — the FSM aborts such a sequence and re-emits its
+# collected body as data instead (oracle._csi invalid branch).
 
 # Complete sequences first; truncated-at-EOD variants BEFORE the generic
 # two-char ESC (else `ESC [` of a truncated CSI is consumed as an ESC
@@ -52,6 +56,13 @@ ANSI_RE = re.compile(
     re.DOTALL,
 )
 
+# Complete sequences only (no truncated-at-EOD branches): the per-line
+# replay grammar for every line except the document's last — a
+# sequence cut short by a mid-document "\n" is ABORTED (body re-emitted
+# as data by the FSM), not dropped as EOD-truncated.
+ANSI_COMPLETE_RE = re.compile(
+    "|".join([_CSI, _OSC, _DCS, _ESC2, _C1]), re.DOTALL)
+
 # CSI parts, mirroring the reference's (private, params, intermediate,
 # final) record assembly (vtparser.py:644-683).
 CSI_PARTS_RE = re.compile(
@@ -59,6 +70,9 @@ CSI_PARTS_RE = re.compile(
     r"(?P<interm>[ -/]*)(?P<final>[@-~])",
     re.DOTALL,
 )
+
+# CSI intermediate bytes (elided from histogram keys)
+_INTERM_RE = re.compile(r"[ -/]")
 
 # Severity + ISO-timestamp capture (the grok stage of the generalized
 # pipeline; analog of the reference's regex feature layer,
@@ -118,6 +132,14 @@ def seq_key(match_text: str) -> str | None:
         m = CSI_PARTS_RE.match(match_text)
         if m:
             return f"CSI:{m.group('priv')}{m.group('par')}{m.group('final')}"
+        # Complete CSI whose param body does not re-parse under
+        # CSI_PARTS_RE (stray private markers mid-params, e.g. 1<2C):
+        # the FSM still dispatches it, keyed by the collected body with
+        # intermediates elided — only a truncated CSI returns None.
+        body_final = match_text[1 if c0 == "\x9b" else 2:]
+        if body_final and body_final[-1] >= "@":
+            body = _INTERM_RE.sub("", body_final[:-1])
+            return f"CSI:{body}{body_final[-1]}"
         return None  # truncated CSI
     if c0 == "\x9d" or match_text.startswith("\x1b]"):
         if not (match_text.endswith("\x07") or match_text.endswith("\x1b\\")
@@ -294,6 +316,13 @@ class LineBuilder:
         self.pos = pos
 
     def csi(self, par: str, final: str) -> None:
+        if par and not par.isdigit():
+            # multi-param / malformed param on an editing op (e.g.
+            # CSI 1;5C): replay the leading numeric parameter and count
+            # a warning — one bad row must not throw (module contract
+            # above; mirrored in oracle._VisibleLine.csi).
+            self.warnings += 1
+            par = _PARAM_DIGITS_RE.match(par).group()
         line, pos = self.line, self.pos
         if final == "@":  # insert blanks
             n = int(par) if par else 1
@@ -347,7 +376,10 @@ class LineBuilder:
 # C0 class: everything except TAB (printable to the builder) and ESC
 # (sequence introducer, stripped identically by both paths) — the
 # builder DROPS stray C0 like \x0b/\x07 while a bare strip would keep
-# them, so any such char must take the slow path.
+# them, so any such char must take the slow path. ESC itself is only
+# identical when ANSI_RE consumes it: a dangling ESC (ESC-ESC, ESC-DEL,
+# ESC + C1/GR byte) survives the bare strip, so build_line_counted
+# re-checks the stripped result for residual \x1b and falls back.
 _EDIT_HINT_RE = re.compile(
     r"[\x00-\x08\x0b-\x1a\x1c-\x1f]"
     r"|(?:\x1b\[|\x9b)[0-?]*[ -/]*[@CDGKPX]")
@@ -356,15 +388,37 @@ _EDIT_HINT_RE = re.compile(
 # ignores every other final, so parsing those params is wasted work)
 _EDIT_FINALS = frozenset("@CDGKPX")
 
+# leading digits of a CSI parameter string (defensive first-param parse)
+_PARAM_DIGITS_RE = re.compile(r"\d*")
 
-def build_line_counted(raw_line: str) -> tuple[str, int]:
+
+def build_line_counted(raw_line: str, at_eod: bool = True) -> tuple[str, int]:
     """Reconstruct the visible text of one raw (LF-free) line; also
-    return the edit-bound warning count (F5 accounting)."""
+    return the edit-bound warning count (F5 accounting).
+
+    ``at_eod`` — True only for the DOCUMENT's last line: truncation
+    there means the FSM was still collecting when input ended, so the
+    partial sequence is dropped (EOD branches of the grammar). On a
+    mid-document line the same tail was aborted by the line's "\\n" and
+    the FSM re-emits its collected body as data — the complete-only
+    grammar leaves that body (and a dangling ESC) behind for the
+    LineBuilder walk, which drops the ESC and keeps the body, matching
+    the oracle's invalid-sequence branches.
+    """
+    pat = ANSI_RE if at_eod else ANSI_COMPLETE_RE
     if _EDIT_HINT_RE.search(raw_line) is None:
-        return ANSI_RE.sub("", raw_line), 0
+        stripped = pat.sub("", raw_line)
+        if "\x1b" not in stripped:
+            return stripped, 0
+        # A dangling ESC (ESC followed by ESC, DEL, a C1 byte or a GR
+        # byte) is matched by no ANSI_RE branch, so the bare strip would
+        # RETAIN it while the replay layer drops stray C0 — fall back to
+        # the LineBuilder walk so both paths agree (and match the
+        # oracle's char FSM, which emits the ESC as data and then drops
+        # it at the visible-line layer).
     lb = LineBuilder()
     last = 0
-    for m in ANSI_RE.finditer(raw_line):
+    for m in pat.finditer(raw_line):
         if m.start() > last:
             lb.text(raw_line[last : m.start()])
         g = m.group(0)
@@ -410,7 +464,8 @@ def parse_doc(text: str) -> dict:
     n_edit_warnings = 0
     mingw_imminent = False
     osc_armed = False
-    for rl in raw_lines:
+    last_i = len(raw_lines) - 1
+    for i, rl in enumerate(raw_lines):
         # OSC-title correlation (terminalparser.py:101-141): a two-line
         # MINGW prompt is genuine only when freshly preceded by an OSC 0
         # title — scrollback redraws repeat the prompt text without the
@@ -439,7 +494,7 @@ def parse_doc(text: str) -> dict:
         built = None
         bwarn = 0
         if "MINGW64" in rl and was_armed:
-            built, bwarn = build_line_counted(rl)
+            built, bwarn = build_line_counted(rl, i == last_i)
             if MINGW_HEADER_RE.match(built):
                 n_edit_warnings += bwarn
                 mingw_imminent = True
@@ -447,7 +502,7 @@ def parse_doc(text: str) -> dict:
         if "$" not in rl:
             continue  # fast path: no prompt sigil at all
         if built is None:
-            built, bwarn = build_line_counted(rl)
+            built, bwarn = build_line_counted(rl, i == last_i)
         n_edit_warnings += bwarn
         if was_imminent and built.startswith("$"):
             prompt_count += 1

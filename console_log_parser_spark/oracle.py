@@ -6,7 +6,7 @@ characters, string-based line editing) from the engine's vectorized
 regex passes (``functions/ansi.py``). The two must agree; the oracle is
 itself validated against the reference's golden transcripts
 (``/root/reference/test/resources/result_*.txt``, see
-tests/test_oracle_goldens.py).
+tests/test_goldens.py).
 
 State model follows the reference's VT500 parser states
 (vtparser.py:8-25) collapsed to the five that matter for stripping and
@@ -76,7 +76,19 @@ class _VisibleLine:
             self.col = 0
 
     def csi(self, par: str, final: str) -> None:
-        n = int(par) if par.isdigit() else 1
+        if final not in "@CDGKPX":
+            return  # not a line-editing op
+        if par and not par.isdigit():
+            # multi-param / malformed param on an editing op: replay the
+            # leading numeric parameter and count a warning — mirrors
+            # LineBuilder.csi (one bad row must not throw).
+            self.warn += 1
+            head = ""
+            for ch in par:
+                if not ch.isdigit():
+                    break
+                head += ch
+            par = head
         c, s = self.col, self.s
         if final == "@":
             self.s = s[:c] + " " * (int(par) if par else 1) + s[c:]
@@ -445,13 +457,22 @@ class OracleParser:
                 self.vline = _VisibleLine()
                 self._rawline = []  # engine replays only the remainder
         elif not self.in_vim:
-            self.vline.csi(ev.par, ev.final)
+            # The engine only replays a CSI whose record re-parses under
+            # CSI_PARTS_RE (par chars limited to [0-9;:]); a par that
+            # swallowed stray private markers (e.g. "1?2") is stripped
+            # but never replayed there, so skip it here too.
+            if all(c.isdigit() or c in ";:" for c in ev.par):
+                self.vline.csi(ev.par, ev.final)
 
     def _finish_line(self, final: bool = False) -> None:
         raw = "".join(self._rawline)
         self._rawline = []
-        if final and not self.vline.s:
-            return
+        if final and not raw:
+            return  # text ended in "\n": engine's trailing "" split
+            # element is a no-op, so is this. (Keyed on the RAW line —
+            # the engine processes any non-empty raw final line even
+            # when its visible text replays to empty, and its F5
+            # warnings still count.)
         if self.in_vim:
             self.vline = _VisibleLine()
             self.line_had_osc0 = False

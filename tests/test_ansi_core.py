@@ -126,6 +126,48 @@ def test_p5_gr_chars_survive_strip_and_replay():
     assert ansi.build_line("x\xa0y\x08z") == "x\xa0z"
 
 
+@pytest.mark.parametrize("text", [
+    # dangling ESC (matched by no ANSI_RE branch): retained by the
+    # strip, dropped by the replay layer — the edit-hint fast path must
+    # fall back to the LineBuilder walk (ADVICE r3 high)
+    "alice@box:~/w$ echo hi\x1b\x85tail\n",
+    "alice@box:~/w$ echo hi\x1b\x1btail\n",
+    "alice@box:~/w$ a\x1b\x7fb\n",
+    "alice@box:~/w$ a\x1b\xffb\n",
+    "alice@box:~/w$ x\x1b\x9b1Cy\n",
+    # multi-param / malformed params on editing finals: leading numeric
+    # parameter + one warning, never a ValueError (ADVICE r3 low)
+    "alice@box:~/w$ ab\x1b[1;5Ccd\n",
+    "alice@box:~/w$ ab\x1b[;Dcd\n",
+    "alice@box:~/w$ abcd\x1b[1:3P\n",
+    "alice@box:~/w$ ab\x1b[2;0Kcd\n",
+    "alice@box:~/w$ ab\x1b[1<2Ccd\n",
+])
+def test_dangling_esc_and_multiparam_margins_engine_eq_oracle(text):
+    e = ansi.parse_doc(text)
+    o = oracle.oracle_parse_doc(text)
+    for k in KEYS:
+        assert e[k] == o[k], (k, repr(text))
+
+
+def test_dangling_esc_dropped_from_cmd_line():
+    # the ADVICE repro: fast path retained the ESC before the fix
+    e = ansi.parse_doc("alice@box:~/w$ echo hi\x1b\x85tail\n")
+    assert e["cmd_lines"] == ["echo hitail"]
+    # stripped keeps the dangling ESC (it is unparsed input, counted)
+    assert e["n_unparsed"] == 1
+
+
+def test_multiparam_edit_csi_no_valueerror():
+    # CSI 1;5C replays as cursor-forward 1 and counts one warning
+    line, warns = ansi.build_line_counted("ab\x1b[1;5Ccd")
+    assert line == "ab cd"
+    assert warns == 1
+    line, warns = ansi.build_line_counted("ab\x1b[;Dcd")
+    assert line == "acd"
+    assert warns == 1
+
+
 def test_invalid_codepoint_tokens_decode_to_replacement():
     # invalid-UTF-32 boundary at the Arrow decode (operators/parse.py
     # decode_token_lists, errors="replace"): surrogates and

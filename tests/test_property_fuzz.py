@@ -36,7 +36,20 @@ _SGR = ["\x1b[0m", "\x1b[m", "\x1b[1m", "\x1b[31m", "\x1b[31;44m",
 
 _EDITS = ["\x08", "\x08\x08", "\r", "\x1b[K", "\x1b[1K", "\x1b[2K",
           "\x1b[3C", "\x1b[2D", "\x1b[1P", "\x1b[2X", "\x1b[4@",
-          "\x1b[5G", "\x1b[10C"]
+          "\x1b[5G", "\x1b[10C",
+          # multi-param / malformed params on editing finals: replayed
+          # as the leading numeric parameter + one warning, never a
+          # ValueError (ADVICE r3: int(par) crash on CSI 1;5C)
+          "\x1b[1;5C", "\x1b[;D", "\x1b[1:3P", "\x1b[2;0K", "\x1b[?1;2K",
+          # ill-formed par (stray private marker mid-params): stripped
+          # and histogrammed, but never replayed by either twin
+          "\x1b[1<2C"]
+
+# dangling ESC: ESC followed by a byte that begins no sequence (ESC,
+# DEL, C1, GR) — stripped output retains the ESC, the line-replay layer
+# drops it (ADVICE r3 high: the edit-hint fast path must not keep it)
+_DANGLING = ["\x1b\x85", "\x1b\x7f", "\x1b\xff", "\x1b\x1b[0m",
+             "\x1b\x9b0m"]
 
 _OTHER_SEQ = ["\x1b]0;win title\x07", "\x1b]2;t\x1b\\", "\x1b(B",
               "\x1b=", "\x1b>", "\x1bPq#0;1;2~~\x1b\\", "\x9b31m",
@@ -91,6 +104,7 @@ _ATOM = st.one_of(
     st.sampled_from(_SGR),
     st.sampled_from(_OTHER_SEQ),
     st.sampled_from(_EDITS),
+    st.sampled_from(_DANGLING),
     _prompt_line(),
     _vim_span(),
 )
