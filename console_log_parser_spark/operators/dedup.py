@@ -340,7 +340,12 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     """Near-dup pairs by SimHash Hamming distance <= max_hamming,
     using 4x16-bit block LSH (a pair within distance 3 must agree on
     at least one of 4 blocks) to avoid the O(n^2) comparison."""
-    sh = simhash(df, 64, id_col, text_col)
+    # persist the signature frame (16 bytes/doc): both join sides (and
+    # the block explode under each) derive from it, and without the
+    # cache the whole explode+md5+32-column aggregation pipeline runs
+    # TWICE — the plan shows 2x Generate+HashAggregate and no
+    # ReusedExchange. Released via the shared lifecycle helper.
+    sh = simhash(df, 64, id_col, text_col).persist()
     # bucket id = block*2^16 + block value, one LONG — integer join
     # keys hash/compare cheaper than "b:12345" strings and shuffle as
     # 8 fixed bytes; same bucketing semantics (share >=1 block value)
@@ -354,10 +359,18 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
                       F.col("simhash").alias("sh_a"), "bucket")
     b = blocks.select(F.col(id_col).alias("doc_b"),
                       F.col("simhash").alias("sh_b"), "bucket")
-    cand = (a.join(b, "bucket")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "sh_a", "sh_b").distinct())
-    return (cand.withColumn(
-        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming"))
+    # Hamming filter BEFORE the dedup exchange: a pair that matched in
+    # k blocks would otherwise cross the distinct shuffle k times
+    # carrying both 64-bit signatures — and most block-sharing
+    # candidates fail the distance test anyway. Filtering first means
+    # the distinct exchanges only the ACTUAL near-dup pairs, each as
+    # two ids + one small int (hamming is a function of the pair, so
+    # distinct over (doc_a, doc_b, hamming) == distinct pairs).
+    out = (a.join(b, "bucket")
+           .filter(F.col("doc_a") < F.col("doc_b"))
+           .withColumn("hamming", F.bit_count(
+               F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+           .filter(F.col("hamming") <= max_hamming)
+           .select("doc_a", "doc_b", "hamming")
+           .distinct())
+    return _materialize_and_release(out, sh)
