@@ -1,8 +1,10 @@
 """Window watcher: run the scaling harness only in an honest window.
 
-Polls the spin-loop hardware ceiling; when it clears the gate, launches
-tools/bench_scaling.py (which re-checks the gate itself before touching
-the ledger). Exits after the first completed harness run or when the
+Polls the spin-loop hardware ceiling AND the deliverable memory
+bandwidth (the axis run 10 exposed); when both clear their gates,
+launches tools/bench_scaling.py (which re-checks both gates itself
+before touching the ledger). Keeps watching until
+``SPARK_GRAFT_WATCH_ROWS`` harness runs complete (default 1) or the
 deadline passes. This automates the round-1 ADVICE discipline — "re-run
 the harness in a window where the concurrently measured spin ceiling is
 high" — instead of hand-timing it.
@@ -18,17 +20,20 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from tools.bench_scaling import hardware_ceiling  # noqa: E402
+from tools.bench_scaling import hardware_ceiling, membw_ceiling  # noqa: E402
 
 
 def main():
     gate = float(os.environ.get("SPARK_GRAFT_MIN_CEILING", "0.85"))
+    bw_gate = float(os.environ.get("SPARK_GRAFT_MIN_MEMBW_GBS", "110"))
+    target_rows = int(os.environ.get("SPARK_GRAFT_WATCH_ROWS", "1"))
     deadline = time.time() + float(
         os.environ.get("SPARK_GRAFT_WATCH_SECS", "7200"))
     poll = float(os.environ.get("SPARK_GRAFT_WATCH_POLL", "300"))
     lock = os.environ.get("SPARK_GRAFT_DEV_LOCK",
                           "/tmp/spark_graft_dev.lock")
-    while time.time() < deadline:
+    done = 0
+    while time.time() < deadline and done < target_rows:
         if os.path.exists(lock):
             # developer is running their own Spark work; their JVMs
             # would contaminate the level timings (and vice versa)
@@ -45,13 +50,19 @@ def main():
         busy_cores = _total_busy_cpu_secs() - b0
         hw = hardware_ceiling(secs=4.0)
         eff = hw["efficiency"]
+        bw = membw_ceiling(secs=2.0)
         print(json.dumps({"watch_ceiling": round(eff, 3),
-                          "busy_cores": round(busy_cores, 2)}),
+                          "watch_membw_gbs": round(bw["gbs_wide"], 1),
+                          "busy_cores": round(busy_cores, 2),
+                          "rows_done": done}),
               flush=True)
-        # the spin probe itself needs an idle box to be meaningful;
-        # require a near-idle VM AND a passing ceiling
-        if eff >= gate and busy_cores < 2.0 and not os.path.exists(lock):
-            env = dict(os.environ, SPARK_GRAFT_MIN_CEILING=str(gate))
+        # the probes themselves need an idle box to be meaningful;
+        # require a near-idle VM AND both passing ceilings
+        if (eff >= gate and bw["gbs_wide"] >= bw_gate
+                and busy_cores < 2.0 and not os.path.exists(lock)):
+            env = dict(os.environ,
+                       SPARK_GRAFT_MIN_CEILING=str(gate),
+                       SPARK_GRAFT_MIN_MEMBW_GBS=str(bw_gate))
             r = subprocess.run(
                 [sys.executable,
                  os.path.join(REPO, "tools", "bench_scaling.py")],
@@ -61,10 +72,12 @@ def main():
             if r.returncode == 0 and out:
                 last = json.loads(out[-1])
                 if "skipped" not in last:
-                    return  # one completed, honestly-windowed run
+                    done += 1  # one completed, honestly-windowed run
+                    continue
         time.sleep(poll)
-    print(json.dumps({"watcher": "deadline reached, no qualifying "
-                                 "window"}), flush=True)
+    print(json.dumps({"watcher": "exit", "rows_done": done,
+                      "deadline_reached": time.time() >= deadline}),
+          flush=True)
 
 
 if __name__ == "__main__":
