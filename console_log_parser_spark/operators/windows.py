@@ -55,7 +55,12 @@ def range_partitioned_lag(df: DataFrame, order_cols: list[str],
                       .stats().sizeInBytes())
             bound = int(spark.conf.get(
                 "spark.sql.files.maxPartitionBytes", str(128 << 20)))
-            if est <= bound:
+            # 4x decompression safety factor (ADVICE r3): the scan
+            # estimate is COMPRESSED file size, and parquet commonly
+            # decompresses to several times that in row form — a
+            # borderline input must take the scale-safe range path,
+            # not a single-task global sort (spill/OOM risk).
+            if est * 4 <= bound:
                 n = 1
         except Exception:
             pass

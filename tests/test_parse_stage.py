@@ -112,3 +112,37 @@ def test_extract_sets_columns_through_arrow_stage(spark):
     assert got["d2"] == ([], ["eight-bit"])
     assert got["d3"] == ([], [])
     assert got["d4"] == ([], [])
+
+
+def test_a8_approx_count_distinct_within_rsd(spark):
+    """The documented 10^12-row scale swap (extract_sets.py: exact
+    count_distinct -> approx_count_distinct) is executable fact: on the
+    sf0.01 corpus the HLL++ estimate agrees with the exact distinct
+    count per sink within 3x the configured rsd (plus one count of
+    integer slack at tiny cardinalities). HLL++ is deterministic for
+    fixed data + rsd, so this is a hard pin, not a flaky bound."""
+    from console_log_parser_spark.operators.enrich import enrich_stage
+    from console_log_parser_spark.operators.extract_sets import (
+        dcs_strings_extractor, os_commands_extractor)
+    from console_log_parser_spark.operators.parse import synth_tokens_stage
+
+    sf_dir = "/root/testdata/sf0.01"
+    rsd = 0.05
+    ids = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select(F.col("doc_id").cast("long").alias("doc_id_num")))
+    logs = synth_tokens_stage(ids)
+    routes = spark.createDataFrame(datagen.route_metadata_rows())
+    parsed = parse_stage(logs, extractors=(
+        os_commands_extractor(), dcs_strings_extractor()))
+    enr = enrich_stage(parsed, routes).select(
+        "sink", "os_commands", "dcs_strings")
+    agg = (enr.select("sink", F.explode("os_commands").alias("s"))
+           .groupBy("sink")
+           .agg(F.countDistinct("s").alias("exact"),
+                F.approx_count_distinct("s", rsd).alias("approx"))
+           .collect())
+    assert agg, "no OSC strings in the sf0.01 corpus?"
+    for r in agg:
+        tol = max(1, 3 * rsd * r["exact"])
+        assert abs(r["approx"] - r["exact"]) <= tol, \
+            (r["sink"], r["exact"], r["approx"])

@@ -131,6 +131,66 @@ def _median(xs):
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
+def _load_history():
+    hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
+    history = []
+    if os.path.exists(hist_path):
+        with open(hist_path) as hf:
+            for ln in hf:
+                if ln.strip():
+                    history.append(json.loads(ln))
+    return history
+
+
+def _row_protocol(h, pos1):
+    """Protocol of a ledger row: explicit field, else inferred from the
+    append-only position (see FIRST_PROTOCOL2_ROW)."""
+    return h.get("protocol",
+                 PROTOCOL if pos1 >= FIRST_PROTOCOL2_ROW else 1)
+
+
+def render_readme_claim():
+    """Rewrite README.md's scaling-claim block from the ledger — the
+    front page renders the same numbers as BENCH/BASELINE.md and can
+    never quote a better figure than the ledger (round-3 verdict: the
+    hand-typed claim went stale the same day it was written)."""
+    history = _load_history()
+    valid = [(i, h) for i, h in enumerate(history, 1)
+             if not h.get("invalid")]
+    if not valid:
+        return
+    all_vals = [h["value"] for _, h in valid]
+    p2_vals = [h["value"] for i, h in valid if _row_protocol(h, i) == PROTOCOL]
+    gen_vals = [h["value"] for _, h in valid if h.get("git_rev")]
+    best = max((h for _, h in valid), key=lambda h: h["value"])
+    block = (
+        f"8→32 scaling efficiency **{_median(all_vals):.3f} raw — the "
+        f"median over all {len(all_vals)} valid harness invocations** "
+        f"({len(history)} recorded; append-only ledger "
+        "`BENCH/scaling_history.jsonl`). Comparable-protocol view: "
+        f"median **{_median(p2_vals):.3f}** over the {len(p2_vals)} "
+        "valid plan-reuse-protocol rows"
+        + (f", **{_median(gen_vals):.3f}** over the {len(gen_vals)} "
+           "git-stamped current-generation rows" if gen_vals else "")
+        + f". Best honest valid invocation: **{best['value']:.3f} raw"
+        f"{' PASS' if best['value'] >= 0.8 else ''} / "
+        f"{best.get('normalized_to_hw_ceiling', 0):.3f} normalized**, "
+        "in a ceiling-gated window.")
+    path = os.path.join(REPO, "README.md")
+    with open(path) as f:
+        text = f.read()
+    begin = ("<!-- SCALING_CLAIM_BEGIN: rendered from "
+             "BENCH/scaling_history.jsonl by tools/bench_scaling.py; "
+             "do not hand-edit -->")
+    end = "<!-- SCALING_CLAIM_END -->"
+    b, e = text.find(begin), text.find(end)
+    if b < 0 or e < 0:
+        return
+    text = text[:b + len(begin)] + "\n" + block + "\n" + text[e:]
+    with open(path, "w") as f:
+        f.write(text)
+
+
 def _total_busy_cpu_secs() -> float:
     """Whole-box busy CPU seconds since boot (/proc/stat, all cores)."""
     with open("/proc/stat") as f:
@@ -406,11 +466,7 @@ def main():
     hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
     with open(hist_path, "a") as hf:
         hf.write(json.dumps(summary) + "\n")
-    history = []
-    with open(hist_path) as hf:
-        for ln in hf:
-            if ln.strip():
-                history.append(json.loads(ln))
+    history = _load_history()
     # invalidated entries (root-caused measurement artifacts, e.g. a
     # mis-partitioned input table) stay VISIBLE in the ledger with
     # their reason, but do not enter the median — excluding a run
@@ -450,13 +506,10 @@ def main():
     # not mix plan-rebuild and plan-reuse measurements). New rows carry
     # an explicit "protocol"; legacy rows are classified by their
     # append-only ledger position (see FIRST_PROTOCOL2_ROW).
-    def _proto(h, pos1):
-        return h.get("protocol",
-                     PROTOCOL if pos1 >= FIRST_PROTOCOL2_ROW else 1)
     p2_vals = [h["value"] for i, h in enumerate(history, 1)
-               if not h.get("invalid") and _proto(h, i) == PROTOCOL]
+               if not h.get("invalid") and _row_protocol(h, i) == PROTOCOL]
     p1_vals = [h["value"] for i, h in enumerate(history, 1)
-               if not h.get("invalid") and _proto(h, i) != PROTOCOL]
+               if not h.get("invalid") and _row_protocol(h, i) != PROTOCOL]
     gen_line = ""
     if p2_vals:
         gen_line = (
@@ -560,8 +613,12 @@ Latest full bench line (local[32]):
 {json.dumps(r32['sample'])}
 ```
 """)
+    render_readme_claim()
     print(json.dumps(summary))
 
 
 if __name__ == "__main__":
-    main()
+    if "--render-readme" in sys.argv:
+        render_readme_claim()
+    else:
+        main()

@@ -110,7 +110,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     n_ok = sum(1 for r in results.values() if r["status"] == "OK")
     print(f"\n{n_ok}/{len(results)} OK, "
           f"{sum(1 for r in results.values() if r['status']=='ROWS_ONLY')} rows-only")
-    with open("/tmp/correctness_local.json", "w") as f:
+    out_path = os.environ.get("SPARK_GRAFT_CORRECTNESS_OUT",
+                              "/tmp/correctness_local.json")
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     spark.stop()
 
