@@ -16,16 +16,16 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 54 — so four entries rotate out of the driver's hard
+the dict holds 55 — so five entries rotate out of the driver's hard
 signal every round. The dict is therefore ordered: (1) queries never
-yet driver-recorded or whose implementation changed this round FIRST,
-(2) multiply-green stable queries last (the current tail:
-``pipeline_top_commands``, ``pipeline_app_mode``,
-``pipeline_typed_events``, ``pipeline_chapters`` after their r2 green
-rows + per-round local re-verification). Every round, the FULL dict is
-re-verified locally with ``tools/check_correctness.py`` and the result
-committed as ``CORRECTNESS_local_r{N}.json``, so the four rotated-out
-queries always have a same-round green artifact.
+yet driver-recorded (``doc_decontaminate``) or whose implementation
+changed this round (the four cmd-line/edit-warning consumers after
+the r4 parse-twin fixes) FIRST, (2) multiply-green stable queries
+whose code did not change and does not depend on the parse twins
+last. Every round, the FULL dict is re-verified locally with
+``tools/check_correctness.py`` and the result committed as
+``CORRECTNESS_local_r{N}.json``, so the rotated-out queries always
+have a same-round green artifact.
 """
 
 from __future__ import annotations
@@ -934,6 +934,24 @@ def doc_sample_mix(spark, sf_dir):
             .orderBy("lang"))
 
 
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): documents
+    sharing >= 1 word 3-gram with the held-out benchmark slice
+    (doc_id % 25 == 0), with the count of DISTINCT shared 3-grams.
+    The benchmark's distinct grams are broadcast; the corpus side is a
+    map-side explode + broadcast semi-join — the only exchange is the
+    per-doc count over the hit rows. Production n is 8-13; n=3 here
+    because the synthetic vocabulary is small."""
+    from console_log_parser_spark.operators.decontam import (
+        contamination_counts)
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return (contamination_counts(corpus, bench, n=3)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_contam").cast("long").alias("n_contam")))
+
+
 def pipeline_os_commands(spark, sf_dir):
     """A8 distinct-string sets (vtparser.py:714 device_control_strings,
     :738 os_commands): per sink, the OSC control strings and DCS data
@@ -1009,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # for three rounds, driver-green in r1-r3, and re-verified this
     # round in CORRECTNESS_local_r04.json.
     return {
+        "doc_decontaminate": doc_decontaminate,
         "pipeline_top_commands": pipeline_top_commands,
         "pipeline_app_mode": pipeline_app_mode,
         "pipeline_typed_events": pipeline_typed_events,
@@ -1036,7 +1055,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cast_vim_sessions": cast_vim_sessions,
         "events_hop_renumber": events_hop_renumber,
         "doc_dedup_exact": doc_dedup_exact,
-        "doc_token_count": doc_token_count,
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_quality_filter": doc_quality_filter,
@@ -1059,9 +1077,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_severity_hist": pipeline_severity_hist,
         "pipeline_sink_summary": pipeline_sink_summary,
         "pipeline_seq_histogram": pipeline_seq_histogram,
-        # --- rotated-out tail (entries 51-54): stable, driver-green
-        # r1-r3, unchanged for three rounds, re-verified locally each
-        # round (see rotation policy in the module docstring) ---
+        # --- rotated-out tail (entries 51-55): stable, driver-green
+        # r1-r3, code unchanged for >= 2 rounds and independent of the
+        # parse twins, re-verified locally each round (see rotation
+        # policy in the module docstring) ---
+        "doc_token_count": doc_token_count,
         "q6_revenue": q6_revenue,
         "q4_order_priority": q4_order_priority,
         "doc_fingerprint": doc_fingerprint,
@@ -1738,5 +1758,33 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events
             GROUP BY CUBE (event_type, CAST(user_id % 10 AS BIGINT))
+        """,
+        # word 3-grams via 1-based INCLUSIVE list slices: for k words,
+        # starts 1 .. k-2, i.e. range(1, k-1) (range excludes its end);
+        # a text with < 3 words yields an empty range, same as the
+        # engine's size() guard
+        "doc_decontaminate": """
+            WITH words AS (
+                SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id, gram FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' ')))
+                               AS gram
+                    FROM words
+                )
+            ),
+            bench AS (
+                SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0
+            )
+            SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_contam
+            FROM g JOIN bench USING (gram)
+            WHERE g.doc_id % 25 <> 0
+            GROUP BY g.doc_id
         """,
     }
