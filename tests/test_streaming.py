@@ -134,3 +134,37 @@ def test_stateful_sessionize_matches_batch_lag(spark, events_split_dir,
                      F.count("*").alias("n_events"))
                 .collect())}
     assert final == want
+
+
+def test_stream_dedup_exact_survives_redelivery(spark, events_split_dir,
+                                                tmp_path):
+    """dropDuplicatesWithinWatermark under at-least-once redelivery:
+    streaming the 4 micro-batch files with EVERY file delivered twice
+    must leave exactly the original rows in the sink — count and
+    distinct-event_id per type equal the batch table."""
+    import glob
+    import shutil
+
+    from console_log_parser_spark.streaming import jobs
+
+    src = str(tmp_path / "redelivered")
+    os.makedirs(src)
+    for f in sorted(glob.glob(os.path.join(events_split_dir,
+                                           "*.parquet"))):
+        base = os.path.basename(f)
+        shutil.copy(f, os.path.join(src, base))
+        shutil.copy(f, os.path.join(src, base + ".redelivered.parquet"))
+    q = jobs.run_dedup_exact(spark, src, str(tmp_path / "ckpt"),
+                             "t_stream_dedup", max_files_per_trigger=1)
+    q.awaitTermination(300)
+    got = {r["event_type"]: (r["n"], r["nd"]) for r in
+           spark.sql("SELECT * FROM t_stream_dedup")
+           .groupBy("event_type")
+           .agg(F.count("*").alias("n"),
+                F.countDistinct("event_id").alias("nd")).collect()}
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet")
+    want = {r["event_type"]: (r["n"], r["n"]) for r in
+            ev.groupBy("event_type").agg(F.count("*").alias("n"))
+            .collect()}
+    assert got == want
