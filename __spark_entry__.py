@@ -16,12 +16,12 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 56 — so six entries rotate out of the driver's hard
+the dict holds 57 — so seven entries rotate out of the driver's hard
 signal every round. The dict is therefore ordered: (1) queries never
-yet driver-recorded (``doc_decontaminate``, ``stream_dedup_exact``)
-or whose implementation changed this round (the four cmd-line/
-edit-warning consumers after the r4 parse-twin fixes) FIRST, (2)
-multiply-green stable queries
+yet driver-recorded (``doc_decontaminate``, ``stream_dedup_exact``,
+``doc_pack_sequences``) or whose implementation changed this round
+(the four cmd-line/edit-warning consumers after the r4 parse-twin
+fixes) FIRST, (2) multiply-green stable queries
 whose code did not change and does not depend on the parse twins
 last. Every round, the FULL dict is re-verified locally with
 ``tools/check_correctness.py`` and the result committed as
@@ -435,6 +435,22 @@ def stream_sessionize(spark, sf_dir):
             .groupBy("user_id")
             .agg(F.max("n_sessions").alias("n_sessions"),
                  F.max("n_events").alias("n_events")))
+
+
+def doc_pack_sequences(spark, sf_dir):
+    """Token-aware sequence packing (operators/packing.py): global
+    token offsets under the deterministic md5 concat order via a
+    distributed two-pass prefix sum (range partitions + in-partition
+    cumsum + broadcast triangular offset join — no single-task global
+    sort), then the fixed 2048-token training windows each document
+    lands in. n_chars stands in for the token count (it is the
+    pre-tokenized length the documents table carries)."""
+    from console_log_parser_spark.operators.packing import pack_sequences
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (pack_sequences(docs, 2048, id_col="doc_id",
+                           n_tok_col="n_chars")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "tok_end", "first_seq", "last_seq"))
 
 
 def stream_dedup_exact(spark, sf_dir):
@@ -1074,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_decontaminate": doc_decontaminate,
         "stream_dedup_exact": stream_dedup_exact,
+        "doc_pack_sequences": doc_pack_sequences,
         "pipeline_top_commands": pipeline_top_commands,
         "pipeline_app_mode": pipeline_app_mode,
         "pipeline_typed_events": pipeline_typed_events,
@@ -1103,7 +1120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_exact": doc_dedup_exact,
         "doc_lang_id": doc_lang_id,
         "doc_quality_filter": doc_quality_filter,
-        "doc_repetition": doc_repetition,
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_dedup_keep_first": doc_dedup_keep_first,
         "doc_dedup_clusters": doc_dedup_clusters,
@@ -1126,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r1-r3, code unchanged for >= 2 rounds and independent of the
         # parse twins, re-verified locally each round (see rotation
         # policy in the module docstring) ---
+        "doc_repetition": doc_repetition,
         "doc_quality": doc_quality,
         "doc_token_count": doc_token_count,
         "q6_revenue": q6_revenue,
@@ -1813,6 +1830,28 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY event_type
+        """,
+        # concat-then-chunk packing: inclusive running sum under the
+        # md5 order, then fixed 2048-token windows; // is DuckDB's
+        # integer division (floor), but operands are non-negative
+        # except the tok_end = 0 case pinned by the CASE (Spark DIV
+        # truncates toward zero there)
+        "doc_pack_sequences": """
+            WITH ordered AS (
+                SELECT doc_id, n_chars,
+                       sum(n_chars) OVER (
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS tok_end
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(tok_end AS BIGINT) AS tok_end,
+                   CAST((tok_end - n_chars) // 2048 AS BIGINT)
+                       AS first_seq,
+                   CASE WHEN tok_end = 0 THEN CAST(-1 AS BIGINT)
+                        ELSE CAST((tok_end - 1) // 2048 AS BIGINT)
+                   END AS last_seq
+            FROM ordered
         """,
         # word 3-grams via 1-based INCLUSIVE list slices: for k words,
         # starts 1 .. k-2, i.e. range(1, k-1) (range excludes its end);
