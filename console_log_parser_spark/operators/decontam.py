@@ -46,12 +46,17 @@ def contamination_counts(docs: DataFrame, benchmark: DataFrame,
     bench_grams = (benchmark
                    .select(F.explode(word_ngrams(text_col, n)).alias("gram"))
                    .distinct())
-    doc_grams = (docs
-                 .select(id_col, F.explode(word_ngrams(text_col, n))
-                         .alias("gram"))
-                 .distinct())
+    doc_grams = docs.select(
+        id_col, F.explode(word_ngrams(text_col, n)).alias("gram"))
+    # Join BEFORE any distinct: the broadcast hash join filters the
+    # corpus gram stream map-side, so the only exchanged rows are the
+    # HITS (contamination is the exception) — a corpus-side distinct
+    # here would shuffle every gram of the 100 TB corpus. The distinct
+    # over hit rows then makes n_contam count DISTINCT shared grams
+    # even when a doc repeats one.
     return (doc_grams
             .join(F.broadcast(bench_grams), "gram")
+            .select(id_col, "gram").distinct()
             .groupBy(id_col)
             .agg(F.count("*").alias("n_contam")))
 

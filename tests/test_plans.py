@@ -86,7 +86,8 @@ def test_headline_queries_have_no_per_row_python(spark):
     qs = em.queries()
     for name in ("q1_pricing_summary", "q3_shipping_priority",
                  "events_sessionize", "doc_minhash_dedup",
-                 "doc_simhash_pairs", "ann_bruteforce_top10"):
+                 "doc_simhash_pairs", "ann_bruteforce_top10",
+                 "doc_decontaminate", "doc_pack_sequences"):
         plan = _plan(qs[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
 
