@@ -51,3 +51,92 @@ def test_tree_sampler_attributes_grandchildren():
     # the grandchild burned ~2.5 CPU-seconds; sampling loses at most
     # the final second — well over half must be attributed
     assert ours >= 1.2, (ours, wall, acc)
+
+
+def test_main_reporting_path_end_to_end(tmp_path, monkeypatch, capsys):
+    """The reporting half of main() — summary fields, ledger append,
+    protocol stamp, per-protocol medians, BASELINE.md and README
+    rendering — runs against STUBBED measurements, so a render bug can
+    never be discovered by (and waste) a real ceiling-gated run."""
+    import json
+
+    import tools.bench_scaling as bs
+
+    repo = tmp_path / "repo"
+    (repo / "BENCH").mkdir(parents=True)
+    (repo / "README.md").write_text(
+        "# x\n\n"
+        "<!-- SCALING_CLAIM_BEGIN: rendered from "
+        "BENCH/scaling_history.jsonl by tools/bench_scaling.py; "
+        "do not hand-edit -->\n"
+        "<!-- SCALING_CLAIM_END -->\n")
+    # a legacy ledger row (no protocol field, position 1 -> protocol 1)
+    (repo / "BENCH" / "scaling_history.jsonl").write_text(json.dumps(
+        {"value": 0.5, "seq_per_sec": {"8": 1000, "32": 2000},
+         "normalized_to_hw_ceiling": 0.6}) + "\n")
+    monkeypatch.setattr(bs, "REPO", str(repo))
+    monkeypatch.setattr(bs, "FIRST_PROTOCOL2_ROW", 2)
+    monkeypatch.setattr(bs, "hardware_ceiling",
+                        lambda *a, **k: {"efficiency": 0.9,
+                                         "spin_rate": {8: 1, 32: 3.6}})
+    monkeypatch.setattr(bs, "membw_ceiling",
+                        lambda *a, **k: {"efficiency": 0.5,
+                                         "gbs_wide": 150.0,
+                                         "bytes_per_sec": {8: 1, 32: 2}})
+
+    def fake_run_bench(cpus, sf_dir):
+        seq = {8: 1000.0, 32: 3400.0}[cpus]
+        return {"pipeline": {"seq_per_sec": seq, "tok_per_sec": seq * 100},
+                "foreign_cores": 0.1}
+    monkeypatch.setattr(bs, "run_bench", fake_run_bench)
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_LEVELS", "8,32")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_RUNS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_MIN_CEILING", "0.85")
+    monkeypatch.setenv("SPARK_GRAFT_MIN_MEMBW_GBS", "110")
+    bs.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["value"] == 0.85  # 3400/1000/4
+    assert out["protocol"] == bs.PROTOCOL
+    assert out["pass"] is True
+    assert out["membw_pre_gbs"] == 150.0
+    assert "invalid" not in out
+    hist = [json.loads(ln) for ln in
+            (repo / "BENCH" / "scaling_history.jsonl").read_text()
+            .splitlines()]
+    assert len(hist) == 2 and hist[1]["protocol"] == bs.PROTOCOL
+    baseline = (repo / "BENCH" / "BASELINE.md").read_text()
+    assert "0.850" in baseline and "Primary comparable claim" in baseline
+    readme = (repo / "README.md").read_text()
+    # all-history median (0.5, 0.85) = 0.675; protocol-2 median = 0.85
+    assert "0.675 raw" in readme and "0.850" in readme
+
+
+def test_main_post_run_membw_invalidation(tmp_path, monkeypatch, capsys):
+    """Bandwidth collapsing mid-run must auto-invalidate the row."""
+    import json
+
+    import tools.bench_scaling as bs
+
+    repo = tmp_path / "repo"
+    (repo / "BENCH").mkdir(parents=True)
+    monkeypatch.setattr(bs, "REPO", str(repo))
+    monkeypatch.setattr(bs, "hardware_ceiling",
+                        lambda *a, **k: {"efficiency": 0.9})
+    bws = iter([{"efficiency": 0.5, "gbs_wide": 150.0,
+                 "bytes_per_sec": {8: 1, 32: 2}},
+                {"efficiency": 0.5, "gbs_wide": 60.0,
+                 "bytes_per_sec": {8: 1, 32: 2}}])
+    monkeypatch.setattr(bs, "membw_ceiling", lambda *a, **k: next(bws))
+    monkeypatch.setattr(
+        bs, "run_bench",
+        lambda cpus, sf_dir: {"pipeline": {
+            "seq_per_sec": {8: 1000.0, 32: 3400.0}[cpus],
+            "tok_per_sec": 1.0}, "foreign_cores": 0.1})
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_LEVELS", "8,32")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_RUNS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_MIN_CEILING", "0.85")
+    monkeypatch.setenv("SPARK_GRAFT_MIN_MEMBW_GBS", "110")
+    bs.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["invalid"] is True
+    assert "memory bandwidth" in out["invalid_reason"]
