@@ -122,10 +122,11 @@ def test_main_post_run_membw_invalidation(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(bs, "REPO", str(repo))
     monkeypatch.setattr(bs, "hardware_ceiling",
                         lambda *a, **k: {"efficiency": 0.9})
-    bws = iter([{"efficiency": 0.5, "gbs_wide": 150.0,
-                 "bytes_per_sec": {8: 1, 32: 2}},
-                {"efficiency": 0.5, "gbs_wide": 60.0,
-                 "bytes_per_sec": {8: 1, 32: 2}}])
+    # pre-gate takes best-of-2 (150), post-run best-of-2 (60): a
+    # SUSTAINED collapse, which is exactly what must invalidate
+    bws = iter([{"efficiency": 0.5, "gbs_wide": g,
+                 "bytes_per_sec": {8: 1, 32: 2}}
+                for g in (150.0, 150.0, 60.0, 60.0)])
     monkeypatch.setattr(bs, "membw_ceiling", lambda *a, **k: next(bws))
     monkeypatch.setattr(
         bs, "run_bench",

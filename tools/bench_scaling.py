@@ -125,6 +125,17 @@ def membw_ceiling(levels=(8, 32), mb: int = 64, secs: float = 3.0) -> dict:
             "efficiency": (rates[hi] / rates[lo]) / (hi / lo)}
 
 
+def membw_best2(secs: float = 2.0) -> dict:
+    """Best of two bandwidth probes — gate decisions use this: single
+    samples occasionally read 3x low (observed 49 GB/s between 151 and
+    150 within minutes), and a TRANSIENT dip must not veto a window or
+    invalidate a run; the sustained contention the gate exists for
+    (run 10) depresses both samples."""
+    a = membw_ceiling(secs=secs)
+    b = membw_ceiling(secs=secs)
+    return a if a["gbs_wide"] >= b["gbs_wide"] else b
+
+
 def _median(xs):
     s = sorted(xs)
     n = len(s)
@@ -351,7 +362,7 @@ def main():
             "hw_ceiling_spin_efficiency": round(pre_hw["efficiency"], 3),
         }))
         return
-    pre_bw = membw_ceiling()
+    pre_bw = membw_best2()
     if pre_bw["gbs_wide"] < min_membw:
         print(json.dumps({
             "metric": "scaling_efficiency_8_to_32",
@@ -379,7 +390,7 @@ def main():
     eff = (results[32]["seq_per_sec"] / results[8]["seq_per_sec"]) / 4.0
     hw = hardware_ceiling()
     try:
-        bw = membw_ceiling()
+        bw = membw_best2()
     except Exception:
         bw = None
     eff_norm = eff / hw["efficiency"] if hw["efficiency"] else eff

@@ -20,7 +20,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from tools.bench_scaling import hardware_ceiling, membw_ceiling  # noqa: E402
+from tools.bench_scaling import hardware_ceiling, membw_best2  # noqa: E402
 
 
 def main():
@@ -50,7 +50,7 @@ def main():
         busy_cores = _total_busy_cpu_secs() - b0
         hw = hardware_ceiling(secs=4.0)
         eff = hw["efficiency"]
-        bw = membw_ceiling(secs=2.0)
+        bw = membw_best2(secs=1.5)
         print(json.dumps({"watch_ceiling": round(eff, 3),
                           "watch_membw_gbs": round(bw["gbs_wide"], 1),
                           "busy_cores": round(busy_cores, 2),
