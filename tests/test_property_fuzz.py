@@ -82,6 +82,24 @@ def _prompt_line(draw):
 
 
 @st.composite
+def _mingw_block(draw):
+    """Two-line MINGW64 prompt material (P6 OSC-title correlation,
+    terminalparser.py:101-141): the header only counts when the
+    PREVIOUS line carried an OSC 0 title — armed, unarmed (scrollback
+    redraw, must NOT count) and non-matching-header variants all
+    compose with everything else."""
+    armed = draw(st.booleans())
+    osc_line = "\x1b]0;MINGW64:/c/proj\x07\r\n" if armed else "plain\r\n"
+    hdr_user = draw(st.sampled_from(["bob", "a.b", "Bad_User"]))
+    header = f"{hdr_user}@HOST-1 MINGW64 ~/proj (master)\r\n"
+    cmd_bits = draw(st.lists(
+        st.one_of(st.sampled_from(_WORDS), st.sampled_from(_EDITS),
+                  st.sampled_from(_SGR), st.just(" ")),
+        max_size=5))
+    return osc_line + header + "$ " + "".join(cmd_bits) + "\r\n"
+
+
+@st.composite
 def _vim_span(draw):
     body = " ".join(draw(st.lists(st.sampled_from(_WORDS), max_size=5)))
     multi = draw(st.booleans())
@@ -106,6 +124,7 @@ _ATOM = st.one_of(
     st.sampled_from(_EDITS),
     st.sampled_from(_DANGLING),
     _prompt_line(),
+    _mingw_block(),
     _vim_span(),
 )
 
