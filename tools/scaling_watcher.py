@@ -71,9 +71,10 @@ def main():
             print(r.stdout[-4000:], flush=True)
             if r.returncode == 0 and out:
                 last = json.loads(out[-1])
-                if "skipped" not in last:
-                    done += 1  # one completed, honestly-windowed run
-                    continue
+                if "skipped" not in last and not last.get("invalid"):
+                    done += 1  # one completed, honestly-windowed,
+                    continue  # VALID run — invalid rows stay in the
+                    # ledger as evidence but don't advance the target
         time.sleep(poll)
     print(json.dumps({"watcher": "exit", "rows_done": done,
                       "deadline_reached": time.time() >= deadline}),
