@@ -16,10 +16,12 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 57 — so seven entries rotate out of the driver's hard
+the dict holds 60 — so ten entries rotate out of the driver's hard
 signal every round. The dict is therefore ordered: (1) queries never
-yet driver-recorded (``doc_decontaminate``, ``stream_dedup_exact``,
-``doc_pack_sequences``) or whose implementation changed this round
+yet driver-recorded (the round-4 additions ``doc_pii_redact``,
+``doc_quality_model``, ``doc_epoch_shuffle``, ``doc_decontaminate``,
+``stream_dedup_exact``, ``doc_pack_sequences``)
+or whose implementation changed this round
 (the four cmd-line/edit-warning consumers after the r4 parse-twin
 fixes) FIRST, (2) multiply-green stable queries
 whose code did not change and does not depend on the parse twins
@@ -1013,6 +1015,79 @@ def doc_decontaminate(spark, sf_dir):
                     F.col("n_contam").cast("long").alias("n_contam")))
 
 
+def doc_pii_redact(spark, sf_dir):
+    """PII redaction (operators/redact.py): per-doc hit counts per PII
+    class and the md5 of the scrubbed text. The synthetic corpus has no
+    organic PII, so the query PLANTS deterministic emails / IPv4s /
+    phone numbers derived from doc_id (both engines plant identically),
+    then verifies counts and the redacted bytes hash-for-hash. Pure
+    map-side built-ins (regexp_count/regexp_replace) — zero shuffle."""
+    from console_log_parser_spark.operators.redact import redact_pii
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    email = F.concat(F.lit(" mail bob"), i.cast("string"),
+                     F.lit("@example.com end"))
+    ip = F.concat(F.lit(" ip 10."), (i % 200).cast("string"),
+                  F.lit(".3."), (i % 250).cast("string"), F.lit(" seen"))
+    tel = F.concat(F.lit(" tel +01-555-"),
+                   F.lpad((i % 1000).cast("string"), 3, "0"),
+                   F.lit("-"), F.lpad((i % 10000).cast("string"), 4, "0"),
+                   F.lit(" ok"))
+    planted = docs.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.when(i % 5 == 0, email)
+                  .when(i % 5 == 1, ip)
+                  .when(i % 5 == 2, tel)
+                  .when(i % 5 == 3, F.concat(email, ip))
+                  .otherwise(F.lit(""))))
+    return (redact_pii(planted)
+            .select(i.cast("long").alias("doc_id"),
+                    "n_email", "n_phone", "n_ipv4",
+                    F.md5(F.col("text_redacted")).alias("redact_md5"),
+                    F.length("text_redacted").cast("long")
+                    .alias("red_len")))
+
+
+def doc_quality_model(spark, sf_dir):
+    """Distilled linear quality model at corpus scale
+    (operators/classify.py): integer weights over engineered features
+    compiled into the plan as literals (no join, no UDF), bucketed by
+    integer thresholds, then per (source, bucket) counts and exact
+    integer score stats. Inference is one whole-stage-codegen
+    projection; the only exchange is the final tiny aggregate."""
+    from console_log_parser_spark.operators.classify import score_quality
+    docs = _t(spark, sf_dir, "documents")
+    return (score_quality(docs)
+            .groupBy("source", "q_bucket")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("q_score").cast("long").alias("sum_score"),
+                 F.min("q_score").cast("long").alias("min_score"),
+                 F.max("q_score").cast("long").alias("max_score"))
+            .orderBy("source", "q_bucket"))
+
+
+def doc_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle (operators/sampling.py epoch_key /
+    epoch_shuffle): the first 20 documents of epoch 1's training order
+    with their global positions. The operator's scale path is a range
+    exchange + per-partition sort (partition order IS the epoch order,
+    no global window); this query pins the KEY's determinism
+    cross-engine — the row_number here runs over the already-limited
+    20-row frame, a deliberate tiny single-partition window, while
+    tests/test_sampling.py proves the range-partitioned operator output
+    equals this global order."""
+    from console_log_parser_spark.operators.sampling import epoch_key
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        epoch_key(1, F.col("doc_id")).alias("shuffle_key"))
+    top = keyed.orderBy("shuffle_key", "doc_id").limit(20)
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return top.withColumn("position",
+                          F.row_number().over(w).cast("long"))
+
+
 def pipeline_os_commands(spark, sf_dir):
     """A8 distinct-string sets (vtparser.py:714 device_control_strings,
     :738 os_commands): per sink, the OSC control strings and DCS data
@@ -1088,6 +1163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # for three rounds, driver-green in r1-r3, and re-verified this
     # round in CORRECTNESS_local_r04.json.
     return {
+        "doc_pii_redact": doc_pii_redact,
+        "doc_quality_model": doc_quality_model,
+        "doc_epoch_shuffle": doc_epoch_shuffle,
         "doc_decontaminate": doc_decontaminate,
         "stream_dedup_exact": stream_dedup_exact,
         "doc_pack_sequences": doc_pack_sequences,
@@ -1852,6 +1930,112 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                         ELSE CAST((tok_end - 1) // 2048 AS BIGINT)
                    END AS last_seq
             FROM ordered
+        """,
+        # PII planting mirrors the Spark query exactly; patterns use
+        # the Java-regex / RE2 common subset so both engines agree.
+        # DuckDB string literals do not process backslash escapes, so
+        # \b / \d pass through verbatim.
+        "doc_pii_redact": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text || CASE
+                         WHEN doc_id % 5 = 0 THEN
+                           ' mail bob' || CAST(doc_id AS VARCHAR)
+                           || '@example.com end'
+                         WHEN doc_id % 5 = 1 THEN
+                           ' ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+                           || '.3.' || CAST(doc_id % 250 AS VARCHAR)
+                           || ' seen'
+                         WHEN doc_id % 5 = 2 THEN
+                           ' tel +01-555-'
+                           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                           || '-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           || ' ok'
+                         WHEN doc_id % 5 = 3 THEN
+                           ' mail bob' || CAST(doc_id AS VARCHAR)
+                           || '@example.com end'
+                           || ' ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+                           || '.3.' || CAST(doc_id % 250 AS VARCHAR)
+                           || ' seen'
+                         ELSE '' END AS text
+                FROM documents
+            ),
+            red AS (
+                SELECT doc_id, text,
+                       regexp_replace(regexp_replace(regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                           '\+\d{2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g') AS text_redacted
+                FROM planted
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                       '\+\d{2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                       AS BIGINT) AS n_ipv4,
+                   md5(text_redacted) AS redact_md5,
+                   CAST(len(text_redacted) AS BIGINT) AS red_len
+            FROM red
+        """,
+        "doc_quality_model": """
+            WITH f AS (
+                SELECT source,
+                       CAST(len(text) AS BIGINT) AS n_chars,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_words,
+                       CAST(len(list_distinct(string_split(text, ' ')))
+                           AS BIGINT) AS n_distinct_words,
+                       CAST(list_max(list_transform(
+                           string_split(text, ' '), w -> len(w)))
+                           AS BIGINT) AS max_word_len
+                FROM documents
+            ),
+            s AS (
+                SELECT source,
+                       -400 + 1 * n_chars - 2 * n_words
+                       + 6 * n_distinct_words - 3 * max_word_len
+                           AS q_score
+                FROM f
+            ),
+            b AS (
+                SELECT source, q_score,
+                       CASE WHEN q_score < 250 THEN 'low'
+                            WHEN q_score < 600 THEN 'mid'
+                            ELSE 'high' END AS q_bucket
+                FROM s
+            )
+            SELECT source, q_bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(q_score) AS BIGINT) AS sum_score,
+                   CAST(min(q_score) AS BIGINT) AS min_score,
+                   CAST(max(q_score) AS BIGINT) AS max_score
+            FROM b
+            GROUP BY source, q_bucket
+            ORDER BY source, q_bucket
+        """,
+        "doc_epoch_shuffle": """
+            WITH keyed AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       md5('shuf42:1:' || CAST(doc_id AS VARCHAR))
+                           AS shuffle_key
+                FROM documents
+            ),
+            ranked AS (
+                SELECT doc_id, shuffle_key,
+                       CAST(row_number() OVER
+                           (ORDER BY shuffle_key, doc_id) AS BIGINT)
+                           AS position
+                FROM keyed
+            )
+            SELECT doc_id, shuffle_key, position
+            FROM ranked WHERE position <= 20
         """,
         # word 3-grams via 1-based INCLUSIVE list slices: for k words,
         # starts 1 .. k-2, i.e. range(1, k-1) (range excludes its end);

@@ -39,6 +39,31 @@ def deterministic_sample(df: DataFrame, rate_bp: int,
     return df.filter(bucket_bp(F.col(key_col), salt) < rate_bp)
 
 
+def epoch_key(epoch: int, col, salt: str = "shuf42"):
+    """Deterministic per-epoch shuffle key: md5 over (salt, epoch, key).
+    Changing ``epoch`` re-permutes the whole corpus; the same
+    (salt, epoch, key) maps to the same position on any engine and any
+    retry — the training-order analog of ``bucket_bp``."""
+    return F.md5(F.concat(F.lit(f"{salt}:{epoch}:"), col.cast("string")))
+
+
+def epoch_shuffle(df: DataFrame, epoch: int, key_col: str = "doc_id",
+                  salt: str = "shuf42") -> DataFrame:
+    """Global deterministic training order for one epoch: every row
+    gets ``shuffle_key`` = ``epoch_key`` and the frame is
+    range-partitioned + sorted on it, so reading the output partitions
+    in partition order IS the epoch order — a total order with NO
+    global window and no single-task sort. At 10^12 rows this is one
+    range exchange (sampled boundaries) with sorted parquet files per
+    partition; per-row global positions, when needed, are partition
+    offset + local row number (the two-pass prefix-sum pattern of
+    ``packing.pack_sequences``), never a one-partition window."""
+    keyed = df.withColumn("shuffle_key", epoch_key(epoch, F.col(key_col),
+                                                   salt))
+    return (keyed.repartitionByRange("shuffle_key", key_col)
+                 .sortWithinPartitions("shuffle_key", key_col))
+
+
 def weighted_mix(df: DataFrame, rates: DataFrame,
                  strat_col: str = "source", key_col: str = "doc_id",
                  salt: str = "mix42") -> DataFrame:

@@ -64,3 +64,32 @@ def test_bucket_portable_value(spark):
            .collect()[0])
     exp = int(hashlib.md5(b"mix42d7").hexdigest()[:8], 16) % 10000
     assert row["b"] == exp
+
+
+def test_epoch_shuffle_partition_order_is_global_order(spark):
+    # the scale path's contract: reading the range-partitioned, sorted
+    # output in partition order equals a global orderBy on the key
+    from console_log_parser_spark.operators.sampling import (
+        epoch_key, epoch_shuffle)
+    df = _docs(spark, 500)
+    shuffled = epoch_shuffle(df, epoch=1)
+    by_partition = [r["doc_id"] for r in shuffled.collect()]
+    want = [r["doc_id"] for r in
+            df.withColumn("k", epoch_key(1, F.col("doc_id")))
+              .orderBy("k", "doc_id").collect()]
+    assert by_partition == want
+    # no global single-partition sort in the plan: range exchange only
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_epoch_shuffle_deterministic_and_epoch_sensitive(spark):
+    from console_log_parser_spark.operators.sampling import epoch_shuffle
+    df = _docs(spark, 300)
+    e1a = [r["doc_id"] for r in epoch_shuffle(df, 1).collect()]
+    e1b = [r["doc_id"] for r in
+           epoch_shuffle(df.repartition(7), 1).collect()]
+    e2 = [r["doc_id"] for r in epoch_shuffle(df, 2).collect()]
+    assert e1a == e1b          # deterministic under repartition/retry
+    assert e1a != e2           # a new epoch re-permutes
+    assert sorted(e1a) == sorted(e2)  # ... the same rows
