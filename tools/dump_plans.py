@@ -80,6 +80,22 @@ SHOWN = [
      "exchange + in-partition cumsum window (partitioned, never "
      "global) + broadcast triangular offset join over per-partition "
      "totals; integer-DIV window arithmetic on top."),
+    ("doc_pii_redact",
+     "PII redaction: a pure map — chained regexp_count/"
+     "regexp_replace built-ins fused over the scan projection; NO "
+     "exchange and no Python anywhere in the plan."),
+    ("doc_quality_model",
+     "Distilled quality-model inference: the linear head's integer "
+     "weights are LITERALS in one whole-stage-codegen projection "
+     "(no model join, no UDF); the only exchange is the final tiny "
+     "(source, bucket) aggregate."),
+    ("doc_epoch_shuffle",
+     "Epoch-shuffle pin query: TakeOrderedAndProject — per-partition "
+     "partial top-k on the md5 epoch key, never a global sort. The "
+     "operator itself (sampling.epoch_shuffle) plans ONE "
+     "RangePartitioning exchange + in-partition sort; "
+     "tests/test_sampling.py pins that shape and partition-order == "
+     "global-order."),
 ]
 
 
