@@ -1158,10 +1158,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multi-param CSI params, EOD anchoring), so the four cmd-line /
     # edit-warning consumers lead this round — ADVICE r3: cmd-line-
     # dependent queries must sit inside the recorded window whenever
-    # parse code changes. The rotated-out tail (q6_revenue,
-    # q4_order_priority, doc_fingerprint, doc_word_topk) is unchanged
-    # for three rounds, driver-green in r1-r3, and re-verified this
-    # round in CORRECTNESS_local_r04.json.
+    # parse code changes — and every pipeline_*/html query consuming
+    # the changed twins stays inside the top 50. The rotated-out tail
+    # (media_* synth ops, doc_repetition/doc_quality/doc_token_count,
+    # q6_revenue, q4_order_priority, doc_fingerprint, doc_word_topk)
+    # is unchanged for >= 2 rounds, driver-green in r1-r3, independent
+    # of the parse twins, and re-verified this round in
+    # CORRECTNESS_local_r04.json.
     return {
         "doc_pii_redact": doc_pii_redact,
         "doc_quality_model": doc_quality_model,
@@ -1176,6 +1179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_source_rollup": pipeline_source_rollup,
         "events_type_cube": events_type_cube,
         "pipeline_os_commands": pipeline_os_commands,
+        "pipeline_severity_hist": pipeline_severity_hist,
+        "pipeline_sink_summary": pipeline_sink_summary,
+        "pipeline_seq_histogram": pipeline_seq_histogram,
+        "html_render_stats": html_render_stats,
         "doc_sample_mix": doc_sample_mix,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1212,11 +1219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata_stats": media_metadata_stats,
         "media_frame_sample": media_frame_sample,
         "media_thumbnails": media_thumbnails,
-        "html_render_stats": html_render_stats,
-        "pipeline_severity_hist": pipeline_severity_hist,
-        "pipeline_sink_summary": pipeline_sink_summary,
-        "pipeline_seq_histogram": pipeline_seq_histogram,
-        # --- rotated-out tail (entries 51-56): stable, driver-green
+        # --- rotated-out tail (entries 51-60, with media_* above):
+        # stable, driver-green
         # r1-r3, code unchanged for >= 2 rounds and independent of the
         # parse twins, re-verified locally each round (see rotation
         # policy in the module docstring) ---
