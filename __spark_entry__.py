@@ -16,9 +16,10 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 61 — so eleven entries rotate out of the driver's hard
+the dict holds 62 — so twelve entries rotate out of the driver's hard
 signal every round. The dict is therefore ordered: (1) queries never
 yet driver-recorded (the round-4 additions ``doc_boilerplate``,
+``doc_temperature_mix``,
 ``doc_pii_redact``,
 ``doc_quality_model``, ``doc_epoch_shuffle``, ``doc_decontaminate``,
 ``stream_dedup_exact``, ``doc_pack_sequences``)
@@ -1033,6 +1034,33 @@ def doc_boilerplate(spark, sf_dir):
         .withColumn("doc_id", F.col("doc_id").cast("long"))
 
 
+def doc_temperature_mix(spark, sf_dir):
+    """Temperature-2 dataset mixing (operators/sampling.py
+    temperature_rates/temperature_mix): per-lang keep rates
+    proportional to sqrt(n)/n with the rarest language kept whole,
+    then the deterministic md5 basis-point filter. sqrt is the only
+    float op (IEEE correctly rounded, so cross-engine exact); the
+    rates dimension is broadcast; the corpus sees one column-pruned
+    count pass + a map-side filter."""
+    from console_log_parser_spark.operators.sampling import (
+        bucket_bp, temperature_rates)
+    docs = _t(spark, sf_dir, "documents")
+    rates = temperature_rates(docs, strat_col="lang")
+    kept = bucket_bp(F.col("doc_id")) < F.col("rate_bp")
+    return (docs.join(F.broadcast(rates), "lang")
+            .groupBy("lang")
+            .agg(F.max("n_docs").cast("long").alias("n_docs"),
+                 F.max("weight").cast("long").alias("weight"),
+                 F.max("rate_bp").cast("long").alias("rate_bp"),
+                 F.sum(F.when(kept, 1).otherwise(0)).cast("long")
+                 .alias("n_kept"),
+                 F.min(F.when(kept, F.col("doc_id"))).cast("long")
+                 .alias("first_kept"),
+                 F.max(F.when(kept, F.col("doc_id"))).cast("long")
+                 .alias("last_kept"))
+            .orderBy("lang"))
+
+
 def doc_pii_redact(spark, sf_dir):
     """PII redaction (operators/redact.py): per-doc hit counts per PII
     class and the md5 of the scrubbed text. The synthetic corpus has no
@@ -1178,7 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dependent queries must sit inside the recorded window whenever
     # parse code changes — and every pipeline_*/html query consuming
     # the changed twins stays inside the top 50. The rotated-out tail
-    # (embedding_neardup, media_* synth ops,
+    # (ann_matmul_top10, embedding_neardup, media_* synth ops,
     # doc_repetition/doc_quality/doc_token_count,
     # q6_revenue, q4_order_priority, doc_fingerprint, doc_word_topk)
     # is unchanged for >= 2 rounds, driver-green in r1-r3, independent
@@ -1186,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_local_r04.json.
     return {
         "doc_boilerplate": doc_boilerplate,
+        "doc_temperature_mix": doc_temperature_mix,
         "doc_pii_redact": doc_pii_redact,
         "doc_quality_model": doc_quality_model,
         "doc_epoch_shuffle": doc_epoch_shuffle,
@@ -2069,6 +2098,50 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # 5 elements; starts range(1, k-3) = 1..k-4); md5 hex is the
         # portable gram key in both engines; // floors == Spark div
         # truncation because both operands are non-negative
+        # temperature-2 mixing: sqrt is IEEE-correctly-rounded in both
+        # engines, everything downstream is integer; // floors == div
+        # truncation (non-negative operands); the md5 basis-point
+        # bucket is the same portable expression doc_sample_mix pins
+        "doc_temperature_mix": """
+            WITH counts AS (
+                SELECT lang, count(*) AS n_docs
+                FROM documents GROUP BY 1
+            ),
+            w AS (
+                SELECT lang, n_docs,
+                       CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT)
+                           AS weight
+                FROM counts
+            ),
+            ref AS (
+                SELECT n_docs AS ref_n, weight AS ref_w
+                FROM w ORDER BY n_docs, lang LIMIT 1
+            ),
+            rates AS (
+                SELECT lang, n_docs, weight,
+                       CAST(10000 * weight * ref_n
+                            // (ref_w * n_docs) AS BIGINT) AS rate_bp
+                FROM w, ref
+            ),
+            rated AS (
+                SELECT d.lang, d.doc_id, r.n_docs, r.weight, r.rate_bp,
+                       CAST(('0x' || substring(md5('mix42' || d.doc_id),
+                                               1, 8)) AS BIGINT) % 10000
+                           AS bucket
+                FROM documents d JOIN rates r USING (lang)
+            )
+            SELECT lang,
+                   CAST(max(n_docs) AS BIGINT) AS n_docs,
+                   CAST(max(weight) AS BIGINT) AS weight,
+                   CAST(max(rate_bp) AS BIGINT) AS rate_bp,
+                   CAST(sum(CASE WHEN bucket < rate_bp THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_kept,
+                   CAST(min(CASE WHEN bucket < rate_bp THEN doc_id END)
+                       AS BIGINT) AS first_kept,
+                   CAST(max(CASE WHEN bucket < rate_bp THEN doc_id END)
+                       AS BIGINT) AS last_kept
+            FROM rated GROUP BY lang ORDER BY lang
+        """,
         "doc_boilerplate": """
             WITH words AS (
                 SELECT doc_id, string_split(text, ' ') AS w

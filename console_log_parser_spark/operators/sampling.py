@@ -64,6 +64,59 @@ def epoch_shuffle(df: DataFrame, epoch: int, key_col: str = "doc_id",
                  .sortWithinPartitions("shuffle_key", key_col))
 
 
+def temperature_rates(df: DataFrame, strat_col: str = "source",
+                      scale: int = 1_000_000) -> DataFrame:
+    """Per-stratum keep rates for temperature-2 dataset mixing
+    (the Gopher / LLaMA up-/down-weighting shape): stratum weights
+    ``w_i = floor(sqrt(n_i) * scale)`` — i.e. ``n_i^(1/tau)`` with
+    tau = 2 — and per-row keep rates chosen so the expected kept count
+    per stratum is proportional to ``w_i`` while the rarest stratum is
+    kept whole (the binding constraint: for tau > 1 the rate
+    ``w_i / n_i`` is maximal at the smallest stratum)::
+
+        rate_bp_i = 10000 * w_i * n_ref div (w_ref * n_i)
+
+    Everything after the single ``sqrt`` is INTEGER arithmetic, and
+    IEEE-754 requires sqrt (unlike pow/log) to be correctly rounded —
+    so Spark, DuckDB and a Python oracle compute bit-identical rates;
+    that is why the temperature is fixed at 2 (or 4 via a second sqrt)
+    rather than an arbitrary ``pow(n, 1/tau)``. The reference stratum
+    is the (n_docs, name)-smallest, a total order, so ties are
+    deterministic. Strata are languages/sources/tiers — thousands at
+    most — so the counts frame is tiny and the rates dimension
+    broadcast-joins; the corpus itself is touched by one column-pruned
+    count pass + the map-side filter. The int64 product
+    ``10000 * w_i * n_ref`` bounds deployment scale: with
+    ``scale = 10**6`` it overflows past ~10^8 docs per stratum — shrink
+    ``scale`` (rate precision is 1 bp regardless) or widen to
+    decimal(38) for a 10^12-row corpus."""
+    counts = df.groupBy(strat_col).agg(F.count("*").alias("n_docs"))
+    w = counts.withColumn(
+        "weight",
+        F.floor(F.sqrt(F.col("n_docs")) * F.lit(scale)).cast("long"))
+    ref = (w.orderBy("n_docs", strat_col).limit(1)
+           .select(F.col("n_docs").alias("ref_n"),
+                   F.col("weight").alias("ref_w")))
+    return (w.crossJoin(F.broadcast(ref))
+            .withColumn("rate_bp",
+                        F.expr(f"CAST({BP} * weight * ref_n div "
+                               "(ref_w * n_docs) AS BIGINT)"))
+            .select(strat_col, "n_docs", "weight", "rate_bp"))
+
+
+def temperature_mix(df: DataFrame, strat_col: str = "source",
+                    key_col: str = "doc_id", salt: str = "mix42",
+                    scale: int = 1_000_000) -> DataFrame:
+    """Temperature-2 mixing end-to-end: compute the rates from the
+    corpus's own stratum counts, then apply the deterministic md5
+    filter (``weighted_mix``). Deterministic in (salt, key, corpus
+    composition); the second pass over the corpus is the map-side
+    filter — the rates pass is a column-pruned count."""
+    rates = temperature_rates(df, strat_col, scale) \
+        .select(strat_col, "rate_bp")
+    return weighted_mix(df, rates, strat_col, key_col, salt)
+
+
 def weighted_mix(df: DataFrame, rates: DataFrame,
                  strat_col: str = "source", key_col: str = "doc_id",
                  salt: str = "mix42") -> DataFrame:

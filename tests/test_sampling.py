@@ -93,3 +93,44 @@ def test_epoch_shuffle_deterministic_and_epoch_sensitive(spark):
     assert e1a == e1b          # deterministic under repartition/retry
     assert e1a != e2           # a new epoch re-permutes
     assert sorted(e1a) == sorted(e2)  # ... the same rows
+
+
+def _skewed(spark):
+    # strata sizes 64 / 16 / 4: for tau=2 the rarest ("c") is kept
+    # whole and the rest downsample toward sqrt proportions
+    rows = [(f"d{i}", "a") for i in range(64)] \
+        + [(f"e{i}", "b") for i in range(16)] \
+        + [(f"f{i}", "c") for i in range(4)]
+    return spark.createDataFrame(rows, "doc_id string, source string")
+
+
+def test_temperature_rates_integer_exact(spark):
+    import math
+    from console_log_parser_spark.operators.sampling import (
+        temperature_rates)
+    got = {r["source"]: (r["n_docs"], r["weight"], r["rate_bp"])
+           for r in temperature_rates(_skewed(spark)).collect()}
+    w = {n: math.floor(math.sqrt(n) * 1_000_000) for n in (64, 16, 4)}
+    exp = {s: (n, w[n], 10000 * w[n] * 4 // (w[4] * n))
+           for s, n in (("a", 64), ("b", 16), ("c", 4))}
+    assert got == exp
+    assert got["c"][2] == 10000           # rarest stratum kept whole
+    assert got["a"][2] < got["b"][2] < got["c"][2]  # monotone in size
+    # perfect squares make the sqrt exact: rates are sqrt-proportional
+    assert exp["a"][2] == 2500 and exp["b"][2] == 5000
+
+
+def test_temperature_mix_equals_per_stratum_sampling(spark):
+    from console_log_parser_spark.operators.sampling import (
+        deterministic_sample, temperature_mix, temperature_rates)
+    df = _skewed(spark)
+    got = sorted(r["doc_id"] for r in temperature_mix(df).collect())
+    rates = {r["source"]: r["rate_bp"]
+             for r in temperature_rates(df).collect()}
+    want = []
+    for s, bp in rates.items():
+        want += [r["doc_id"] for r in deterministic_sample(
+            df.filter(F.col("source") == s), int(bp)).collect()]
+    assert got == sorted(want)
+    # the rarest stratum survives complete
+    assert len([d for d in got if d.startswith("f")]) == 4
