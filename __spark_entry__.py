@@ -16,10 +16,10 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 62 — so twelve entries rotate out of the driver's hard
-signal every round. The dict is therefore ordered: (1) queries never
-yet driver-recorded (the round-4 additions ``doc_boilerplate``,
-``doc_temperature_mix``,
+the dict holds 63 — so thirteen entries rotate out of the driver's
+hard signal every round. The dict is therefore ordered: (1) queries
+never yet driver-recorded (the round-4 additions ``doc_boilerplate``,
+``doc_temperature_mix``, ``doc_length_stats``,
 ``doc_pii_redact``,
 ``doc_quality_model``, ``doc_epoch_shuffle``, ``doc_decontaminate``,
 ``stream_dedup_exact``, ``doc_pack_sequences``)
@@ -1061,6 +1061,23 @@ def doc_temperature_mix(spark, sf_dir):
             .orderBy("lang"))
 
 
+def doc_length_stats(spark, sf_dir):
+    """Exact per-lang token-count percentiles WITHOUT a sort
+    (operators/stats.py): token counts live in a small integer
+    domain, so exact nearest-rank percentiles come from a
+    groupBy(lang, count) histogram + a cumulative sum over that tiny
+    frame — the corpus-wide cost is one partial+final hash
+    aggregation, immune to stratum skew. All-integer arithmetic
+    (ceil via ``(p*n + 99) div 100``, non-negative operands) keeps
+    the result bit-exact across engines."""
+    from console_log_parser_spark.operators.stats import (
+        histogram_percentiles)
+    docs = _t(spark, sf_dir, "documents")
+    with_len = docs.select(
+        "lang", F.size(F.split("text", " ")).alias("n_words"))
+    return histogram_percentiles(with_len, "n_words", "lang")
+
+
 def doc_pii_redact(spark, sf_dir):
     """PII redaction (operators/redact.py): per-doc hit counts per PII
     class and the md5 of the scrubbed text. The synthetic corpus has no
@@ -1215,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_boilerplate": doc_boilerplate,
         "doc_temperature_mix": doc_temperature_mix,
+        "doc_length_stats": doc_length_stats,
         "doc_pii_redact": doc_pii_redact,
         "doc_quality_model": doc_quality_model,
         "doc_epoch_shuffle": doc_epoch_shuffle,
@@ -2102,6 +2120,42 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # engines, everything downstream is integer; // floors == div
         # truncation (non-negative operands); the md5 basis-point
         # bucket is the same portable expression doc_sample_mix pins
+        # exact histogram percentiles: nearest-rank over the bounded
+        # token-count domain; ceil as (p*n + 99) // 100 (non-negative
+        # operands, so DuckDB's flooring // == Spark's truncating
+        # div); window sum ties impossible (v is distinct per lang
+        # after the GROUP BY)
+        "doc_length_stats": """
+            WITH vals AS (
+                SELECT lang,
+                       length(string_split(text, ' ')) AS v
+                FROM documents
+            ),
+            hist AS (
+                SELECT lang, v, count(*) AS cnt
+                FROM vals GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT lang, v, cnt,
+                       sum(cnt) OVER (PARTITION BY lang ORDER BY v)
+                           AS cum,
+                       sum(cnt) OVER (PARTITION BY lang) AS n
+                FROM hist
+            )
+            SELECT lang,
+                   CAST(max(n) AS BIGINT) AS n_docs,
+                   CAST(min(v) AS BIGINT) AS min_v,
+                   CAST(min(CASE WHEN cum >= (25 * n + 99) // 100
+                            THEN v END) AS BIGINT) AS p25,
+                   CAST(min(CASE WHEN cum >= (50 * n + 99) // 100
+                            THEN v END) AS BIGINT) AS p50,
+                   CAST(min(CASE WHEN cum >= (75 * n + 99) // 100
+                            THEN v END) AS BIGINT) AS p75,
+                   CAST(min(CASE WHEN cum >= (95 * n + 99) // 100
+                            THEN v END) AS BIGINT) AS p95,
+                   CAST(max(v) AS BIGINT) AS max_v
+            FROM cum GROUP BY lang ORDER BY lang
+        """,
         "doc_temperature_mix": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs

@@ -1,0 +1,69 @@
+"""Exact histogram percentiles (operators/stats.py): nearest-rank
+semantics pinned against a brute-force Python oracle, plus plan shape
+(the corpus sees exactly one exchange — the histogram aggregation)."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from console_log_parser_spark.operators.stats import (
+    histogram_percentiles, value_histogram)
+
+
+def _nearest_rank(values, p):
+    s = sorted(values)
+    k = max(1, math.ceil(p * len(s) / 100))
+    return s[k - 1]
+
+
+def _df(spark, groups):
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    return spark.createDataFrame(rows, "lang string, n long")
+
+
+def test_value_histogram_cumulative(spark):
+    df = _df(spark, {"a": [3, 1, 3, 2, 3]})
+    got = {r["v"]: (r["cnt"], r["cum"], r["n"])
+           for r in value_histogram(df, "n", "lang").collect()}
+    assert got == {1: (1, 1, 5), 2: (1, 2, 5), 3: (3, 5, 5)}
+
+
+@pytest.mark.parametrize("vals", [
+    [7],                          # n=1: every percentile is the value
+    [1, 2],                       # p50 of 2 = first element (ceil(1.0))
+    [5, 5, 5, 5],                 # all ties
+    list(range(10, 110)),         # uniform 100
+    [1] * 90 + [100] * 10,        # heavy skew: p95 jumps the gap
+])
+def test_percentiles_match_nearest_rank_oracle(spark, vals):
+    df = _df(spark, {"g": vals})
+    [row] = histogram_percentiles(df, "n", "lang",
+                                  pcts=(25, 50, 75, 95)).collect()
+    assert row["n_docs"] == len(vals)
+    assert row["min_v"] == min(vals) and row["max_v"] == max(vals)
+    for p in (25, 50, 75, 95):
+        assert row[f"p{p}"] == _nearest_rank(vals, p), (p, vals)
+
+
+def test_percentiles_per_stratum_independent(spark):
+    df = _df(spark, {"a": [1, 2, 3, 4], "b": [100]})
+    got = {r["lang"]: r for r in
+           histogram_percentiles(df, "n", "lang").collect()}
+    assert got["a"]["p50"] == 2 and got["a"]["p95"] == 4
+    assert all(got["b"][c] == 100
+               for c in ("min_v", "p25", "p50", "p75", "p95", "max_v"))
+
+
+def test_single_corpus_exchange(spark):
+    """The corpus-side plan contains exactly ONE exchange (the
+    histogram groupBy); the window + final agg run over the tiny
+    domain-bounded frame."""
+    df = _df(spark, {"a": list(range(50)), "b": list(range(40))})
+    plan = histogram_percentiles(df, "n", "lang") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # exchanges: histogram shuffle + the domain-frame window/agg +
+    # the final orderBy range exchange; none of them carries corpus
+    # rows except the first, and no sort touches the corpus relation
+    assert "BatchEvalPython" not in plan
+    scans = plan.count("Scan ExistingRDD")
+    assert scans == 1  # corpus read exactly once (no self-join)
