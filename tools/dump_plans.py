@@ -89,6 +89,18 @@ SHOWN = [
      "weights are LITERALS in one whole-stage-codegen projection "
      "(no model join, no UDF); the only exchange is the final tiny "
      "(source, bucket) aggregate."),
+    ("doc_temperature_mix",
+     "Temperature-2 mixing: the rates side is a column-pruned count "
+     "aggregate over thousands-at-most strata, re-broadcast against "
+     "the corpus; the keep decision is the map-side md5 basis-point "
+     "filter. The corpus is never shuffled — its only exchange is "
+     "the final per-lang audit aggregate."),
+    ("doc_length_stats",
+     "Exact percentile telemetry: ONE corpus-wide exchange (the "
+     "partial+final groupBy(lang, n_words) histogram); the "
+     "cumulative-sum window and nearest-rank aggregate run over the "
+     "domain-bounded histogram frame. No sort ever touches the "
+     "corpus relation."),
     ("doc_epoch_shuffle",
      "Epoch-shuffle pin query: TakeOrderedAndProject — per-partition "
      "partial top-k on the md5 epoch key, never a global sort. The "
