@@ -16,10 +16,10 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 63 — so thirteen entries rotate out of the driver's
+the dict holds 64 — so fourteen entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions ``doc_boilerplate``,
-``doc_temperature_mix``, ``doc_length_stats``,
+``doc_temperature_mix``, ``doc_length_stats``, ``doc_split_assign``,
 ``doc_pii_redact``,
 ``doc_quality_model``, ``doc_epoch_shuffle``, ``doc_decontaminate``,
 ``stream_dedup_exact``, ``doc_pack_sequences``)
@@ -1078,6 +1078,25 @@ def doc_length_stats(spark, sf_dir):
     return histogram_percentiles(with_len, "n_words", "lang")
 
 
+def doc_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment
+    (operators/sampling.py split_assign): cumulative md5 basis-point
+    thresholds — exhaustive, disjoint, and growth-stable (a doc's
+    split depends only on (salt, doc_id), so corpus growth never
+    migrates eval docs into train). 80/10/10 here so every split is
+    populated at sf0.01; the audit aggregate pins per-(split, lang)
+    counts and id ranges cross-engine."""
+    from console_log_parser_spark.operators.sampling import split_assign
+    docs = _t(spark, sf_dir, "documents")
+    assigned = split_assign(
+        docs, {"train": 8000, "val": 1000, "test": 1000})
+    return (assigned.groupBy("split", "lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("doc_id").cast("long").alias("first_id"),
+                 F.max("doc_id").cast("long").alias("last_id"))
+            .orderBy("split", "lang"))
+
+
 def doc_pii_redact(spark, sf_dir):
     """PII redaction (operators/redact.py): per-doc hit counts per PII
     class and the md5 of the scrubbed text. The synthetic corpus has no
@@ -1233,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_boilerplate": doc_boilerplate,
         "doc_temperature_mix": doc_temperature_mix,
         "doc_length_stats": doc_length_stats,
+        "doc_split_assign": doc_split_assign,
         "doc_pii_redact": doc_pii_redact,
         "doc_quality_model": doc_quality_model,
         "doc_epoch_shuffle": doc_epoch_shuffle,
@@ -2120,6 +2140,28 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # engines, everything downstream is integer; // floors == div
         # truncation (non-negative operands); the md5 basis-point
         # bucket is the same portable expression doc_sample_mix pins
+        # split assignment: same portable md5 bucket as doc_sample_mix;
+        # cumulative thresholds 8000/9000 give train/val/test 80/10/10
+        "doc_split_assign": """
+            WITH assigned AS (
+                SELECT lang, doc_id,
+                       CASE WHEN bucket < 8000 THEN 'train'
+                            WHEN bucket < 9000 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (
+                    SELECT lang, doc_id,
+                           CAST(('0x' || substring(
+                               md5('split42' || doc_id), 1, 8))
+                               AS BIGINT) % 10000 AS bucket
+                    FROM documents
+                )
+            )
+            SELECT split, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS first_id,
+                   CAST(max(doc_id) AS BIGINT) AS last_id
+            FROM assigned GROUP BY split, lang ORDER BY split, lang
+        """,
         # exact histogram percentiles: nearest-rank over the bounded
         # token-count domain; ceil as (p*n + 99) // 100 (non-negative
         # operands, so DuckDB's flooring // == Spark's truncating

@@ -117,6 +117,45 @@ def temperature_mix(df: DataFrame, strat_col: str = "source",
     return weighted_mix(df, rates, strat_col, key_col, salt)
 
 
+def split_assign(df: DataFrame,
+                 fractions_bp: dict[str, int] | None = None,
+                 key_col: str = "doc_id",
+                 salt: str = "split42") -> DataFrame:
+    """Deterministic train/val/test assignment: add a ``split`` column
+    from cumulative basis-point thresholds over the md5 bucket —
+    EXHAUSTIVE and DISJOINT by construction (every bucket value falls
+    in exactly one half-open interval). A pure map-side projection:
+    no shuffle, no state.
+
+    The property that matters for contamination control: a document's
+    split depends ONLY on (salt, key), so it never migrates when the
+    corpus grows, shrinks, or is re-sharded — unlike rank- or
+    ``rand()``-based splits, which silently move yesterday's eval
+    docs into today's training set on every re-run. Within any
+    stratum the md5 bucket is uniform, so per-stratum proportions
+    track the global fractions without a stratified pass; consumers
+    needing exact per-stratum counts audit them with one tiny
+    aggregate (see the ``doc_split_assign`` query).
+
+    ``fractions_bp`` maps split name -> basis points, summing to
+    10000; iteration order defines the threshold order (dicts
+    preserve insertion order)."""
+    fr = fractions_bp or {"train": 9800, "val": 100, "test": 100}
+    if sum(fr.values()) != BP:
+        raise ValueError(f"fractions_bp must sum to {BP}: {fr}")
+    b = bucket_bp(F.col(key_col), salt)
+    expr = None
+    hi = 0
+    *head, (last, _) = fr.items()
+    for name, bp in head:
+        hi += bp
+        cond = b < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else \
+            expr.when(cond, name)
+    split = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
 def weighted_mix(df: DataFrame, rates: DataFrame,
                  strat_col: str = "source", key_col: str = "doc_id",
                  salt: str = "mix42") -> DataFrame:

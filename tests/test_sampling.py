@@ -104,6 +104,33 @@ def _skewed(spark):
     return spark.createDataFrame(rows, "doc_id string, source string")
 
 
+def test_split_assign_exhaustive_disjoint_stable(spark):
+    import pytest as _pytest
+    from console_log_parser_spark.operators.sampling import (
+        bucket_bp, split_assign)
+    df = _skewed(spark)
+    fr = {"train": 8000, "val": 1000, "test": 1000}
+    got = {r["doc_id"]: r["split"]
+           for r in split_assign(df, fr, salt="s").collect()}
+    # exhaustive: every row got exactly one split
+    assert len(got) == df.count()
+    assert set(got.values()) == {"train", "val", "test"}
+    # matches the bucket thresholds computed independently
+    buckets = {r["doc_id"]: r["b"] for r in df.select(
+        "doc_id", bucket_bp(F.col("doc_id"), "s").alias("b")).collect()}
+    for d, s in got.items():
+        b = buckets[d]
+        assert s == ("train" if b < 8000 else
+                     "val" if b < 9000 else "test"), (d, b, s)
+    # growth-stable: a subset corpus assigns identically
+    sub = {r["doc_id"]: r["split"] for r in split_assign(
+        df.filter(F.col("source") == "a"), fr, salt="s").collect()}
+    assert all(got[d] == s for d, s in sub.items())
+    # bad fractions rejected
+    with _pytest.raises(ValueError):
+        split_assign(df, {"train": 9000, "val": 500})
+
+
 def test_temperature_rates_integer_exact(spark):
     import math
     from console_log_parser_spark.operators.sampling import (
