@@ -16,10 +16,11 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 64 — so fourteen entries rotate out of the driver's
+the dict holds 65 — so fifteen entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions ``doc_boilerplate``,
 ``doc_temperature_mix``, ``doc_length_stats``, ``doc_split_assign``,
+``events_funnel``,
 ``doc_pii_redact``,
 ``doc_quality_model``, ``doc_epoch_shuffle``, ``doc_decontaminate``,
 ``stream_dedup_exact``, ``doc_pack_sequences``)
@@ -252,6 +253,31 @@ def events_asof_interleave(spark, sf_dir):
               .otherwise(0)).alias("n_hops"),
         F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("n_left"),
         F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n_right"))
+
+
+def events_funnel(spark, sf_dir):
+    """Strict-sequence view->click->purchase funnel
+    (operators/funnel.py): stage k = earliest stage-k event strictly
+    after the user's stage-(k-1) time. ONE exchange of the
+    stage-filtered stream by user; stacked per-user windows + the
+    per-user reduce all run behind it. Hop latencies are integer
+    epoch-microsecond differences (tz-invariant), summed per
+    user-cohort."""
+    from console_log_parser_spark.operators.funnel import funnel_times
+    ev = _t(spark, sf_dir, "events")
+    ft = funnel_times(ev, ["view", "click", "purchase"])
+    # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not)
+    hop1 = F.expr("timestampdiff(MICROSECOND, t1, t2)")
+    hop2 = F.expr("timestampdiff(MICROSECOND, t2, t3)")
+    return (ft.groupBy((F.col("user_id") % 8).cast("long")
+                       .alias("cohort"))
+            .agg(F.count("*").cast("long").alias("n_users"),
+                 F.count("t1").cast("long").alias("n_view"),
+                 F.count("t2").cast("long").alias("n_click_after"),
+                 F.count("t3").cast("long").alias("n_purchase_after"),
+                 F.sum(hop1).cast("long").alias("hop1_us"),
+                 F.sum(hop2).cast("long").alias("hop2_us"))
+            .orderBy("cohort"))
 
 
 def events_range_join(spark, sf_dir):
@@ -1253,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_temperature_mix": doc_temperature_mix,
         "doc_length_stats": doc_length_stats,
         "doc_split_assign": doc_split_assign,
+        "events_funnel": events_funnel,
         "doc_pii_redact": doc_pii_redact,
         "doc_quality_model": doc_quality_model,
         "doc_epoch_shuffle": doc_epoch_shuffle,
@@ -2140,6 +2167,48 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # engines, everything downstream is integer; // floors == div
         # truncation (non-negative operands); the md5 basis-point
         # bucket is the same portable expression doc_sample_mix pins
+        # strict-sequence funnel: stage k = min stage-k ts strictly
+        # after stage k-1; identical window CASE chain in both
+        # engines; hop sums are epoch-microsecond differences
+        # (tz-invariant — never truncate-then-subtract seconds)
+        "events_funnel": """
+            WITH ev AS (
+                SELECT user_id, ts, event_type FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            w1 AS (
+                SELECT *, min(CASE WHEN event_type = 'view' THEN ts
+                              END) OVER (PARTITION BY user_id) AS t1
+                FROM ev
+            ),
+            w2 AS (
+                SELECT *, min(CASE WHEN event_type = 'click'
+                                    AND ts > t1 THEN ts
+                              END) OVER (PARTITION BY user_id) AS t2
+                FROM w1
+            ),
+            w3 AS (
+                SELECT *, min(CASE WHEN event_type = 'purchase'
+                                    AND ts > t2 THEN ts
+                              END) OVER (PARTITION BY user_id) AS t3
+                FROM w2
+            ),
+            u AS (
+                SELECT user_id, max(t1) AS t1, max(t2) AS t2,
+                       max(t3) AS t3
+                FROM w3 GROUP BY user_id
+            )
+            SELECT CAST(user_id % 8 AS BIGINT) AS cohort,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(count(t1) AS BIGINT) AS n_view,
+                   CAST(count(t2) AS BIGINT) AS n_click_after,
+                   CAST(count(t3) AS BIGINT) AS n_purchase_after,
+                   CAST(sum(epoch_us(t2) - epoch_us(t1)) AS BIGINT)
+                       AS hop1_us,
+                   CAST(sum(epoch_us(t3) - epoch_us(t2)) AS BIGINT)
+                       AS hop2_us
+            FROM u GROUP BY 1 ORDER BY 1
+        """,
         # split assignment: same portable md5 bucket as doc_sample_mix;
         # cumulative thresholds 8000/9000 give train/val/test 80/10/10
         "doc_split_assign": """
