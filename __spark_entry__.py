@@ -16,11 +16,11 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 65 — so fifteen entries rotate out of the driver's
+the dict holds 66 — so sixteen entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions ``doc_boilerplate``,
 ``doc_temperature_mix``, ``doc_length_stats``, ``doc_split_assign``,
-``events_funnel``,
+``events_funnel``, ``doc_inverted_index``,
 ``doc_pii_redact``,
 ``doc_quality_model``, ``doc_epoch_shuffle``, ``doc_decontaminate``,
 ``stream_dedup_exact``, ``doc_pack_sequences``)
@@ -1123,6 +1123,35 @@ def doc_split_assign(spark, sf_dir):
             .orderBy("split", "lang"))
 
 
+def doc_inverted_index(spark, sf_dir):
+    """Posting-list build (operators/index.py): two-pass — document
+    frequencies first (counts shuffle, never lists), hot terms
+    (df > 390 here: the synthetic vocab's stop-word head)
+    broadcast-anti-filtered BEFORE any collect_list, so every
+    materialized posting list is bounded by max_df by construction.
+    Postings are sorted in the aggregate; the audit row carries the
+    md5 of the comma-joined list plus ends, and hot terms return as
+    null-postings rows rather than vanishing."""
+    from console_log_parser_spark.operators.index import build_postings
+    docs = _t(spark, sf_dir, "documents")
+    postings, hot = build_postings(docs, max_df=390)
+    built = postings.select(
+        "term", F.col("df_docs").cast("long").alias("df_docs"),
+        F.size("postings").cast("long").alias("n_postings"),
+        F.md5(F.expr(
+            "array_join(transform(postings, x -> cast(x as string)), "
+            "',')")).alias("postings_md5"),
+        F.element_at("postings", 1).cast("long").alias("first_doc"),
+        F.element_at("postings", -1).cast("long").alias("last_doc"))
+    hot_rows = hot.select(
+        "term", F.col("df_docs").cast("long").alias("df_docs"),
+        F.lit(None).cast("long").alias("n_postings"),
+        F.lit(None).cast("string").alias("postings_md5"),
+        F.lit(None).cast("long").alias("first_doc"),
+        F.lit(None).cast("long").alias("last_doc"))
+    return built.unionByName(hot_rows).orderBy("term")
+
+
 def doc_pii_redact(spark, sf_dir):
     """PII redaction (operators/redact.py): per-doc hit counts per PII
     class and the md5 of the scrubbed text. The synthetic corpus has no
@@ -1280,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_stats": doc_length_stats,
         "doc_split_assign": doc_split_assign,
         "events_funnel": events_funnel,
+        "doc_inverted_index": doc_inverted_index,
         "doc_pii_redact": doc_pii_redact,
         "doc_quality_model": doc_quality_model,
         "doc_epoch_shuffle": doc_epoch_shuffle,
@@ -2167,6 +2197,42 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # engines, everything downstream is integer; // floors == div
         # truncation (non-negative operands); the md5 basis-point
         # bucket is the same portable expression doc_sample_mix pins
+        # inverted index: per-doc DISTINCT terms (list_distinct ==
+        # array_distinct), postings sorted numerically in the
+        # aggregate (string_agg ORDER BY doc_id == sort_array on
+        # longs), md5 over the comma-joined list; hot terms (df >
+        # 390) surface as null-postings rows in both engines
+        "doc_inverted_index": """
+            WITH terms AS (
+                SELECT doc_id,
+                       unnest(list_distinct(string_split(text, ' ')))
+                           AS term
+                FROM documents
+            ),
+            clean AS (SELECT * FROM terms WHERE term <> ''),
+            freqs AS (
+                SELECT term, count(*) AS df_docs
+                FROM clean GROUP BY 1
+            ),
+            built AS (
+                SELECT t.term,
+                       CAST(max(f.df_docs) AS BIGINT) AS df_docs,
+                       CAST(count(*) AS BIGINT) AS n_postings,
+                       md5(string_agg(CAST(t.doc_id AS VARCHAR), ','
+                           ORDER BY t.doc_id)) AS postings_md5,
+                       CAST(min(t.doc_id) AS BIGINT) AS first_doc,
+                       CAST(max(t.doc_id) AS BIGINT) AS last_doc
+                FROM clean t JOIN freqs f USING (term)
+                WHERE f.df_docs <= 390
+                GROUP BY t.term
+            )
+            SELECT * FROM built
+            UNION ALL
+            SELECT term, CAST(df_docs AS BIGINT), NULL, NULL, NULL,
+                   NULL
+            FROM freqs WHERE df_docs > 390
+            ORDER BY term
+        """,
         # strict-sequence funnel: stage k = min stage-k ts strictly
         # after stage k-1; identical window CASE chain in both
         # engines; hop sums are epoch-microsecond differences

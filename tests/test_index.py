@@ -1,0 +1,56 @@
+"""Posting-list build (operators/index.py): distinct-per-doc
+semantics, the hot-term guard, sorted-postings determinism, and the
+plan shape (hot terms excluded via a broadcast BEFORE collect_list).
+"""
+from pyspark.sql import functions as F
+
+from console_log_parser_spark.operators.index import (
+    build_postings, document_frequencies)
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(list(docs.items()),
+                                 "doc_id long, text string") \
+        .select(F.col("doc_id"), F.col("text"))
+
+
+CORPUS = {1: "a b b c", 2: "b c c", 3: "a  a", 4: "the the b"}
+
+
+def test_document_frequencies_distinct_per_doc(spark):
+    got = {r["term"]: r["df_docs"] for r in
+           document_frequencies(_df(spark, CORPUS)).collect()}
+    # repetition inside a doc counts once; the double space in doc 3
+    # yields an empty token that must be dropped
+    assert got == {"a": 2, "b": 3, "c": 2, "the": 1}
+
+
+def test_build_postings_sorted_bounded_and_hot_separated(spark):
+    postings, hot = build_postings(_df(spark, CORPUS), max_df=2)
+    built = {r["term"]: (r["df_docs"], r["postings"])
+             for r in postings.collect()}
+    assert built == {"a": (2, [1, 3]), "c": (2, [1, 2]),
+                     "the": (1, [4])}
+    assert all(len(p) <= 2 for _, p in built.values())
+    assert {r["term"]: r["df_docs"] for r in hot.collect()} == {"b": 3}
+
+
+def test_postings_deterministic_under_repartition(spark):
+    df = _df(spark, {i: "x y" if i % 2 else "x" for i in range(40)})
+    a, _ = build_postings(df, max_df=100)
+    b, _ = build_postings(df.repartition(7), max_df=100)
+    assert sorted(map(tuple, a.collect())) == \
+        sorted(map(tuple, b.collect()))
+    [x] = a.filter(F.col("term") == "y").collect()
+    assert x["postings"] == sorted(x["postings"])
+
+
+def test_hot_guard_is_broadcast_before_collect(spark):
+    plan = build_postings(_df(spark, CORPUS), max_df=2)[0] \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "collect_list" in plan
+    # no sort-merge join / corpus-wide exchange feeds the collect:
+    # the cold-term filter reaches the aggregation as a broadcast
+    assert "SortMergeJoin" not in plan
