@@ -45,6 +45,24 @@ def test_percentiles_match_nearest_rank_oracle(spark, vals):
         assert row[f"p{p}"] == _nearest_rank(vals, p), (p, vals)
 
 
+def test_percentiles_randomized_many_strata(spark):
+    """60 seeded-random strata (sizes 1..200, values 0..50 with heavy
+    ties) against the brute-force nearest-rank oracle in one job."""
+    import random
+    rng = random.Random(0xC0FFEE)
+    groups = {f"g{i:02d}": [rng.randint(0, 50)
+                            for _ in range(rng.randint(1, 200))]
+              for i in range(60)}
+    got = {r["lang"]: r for r in histogram_percentiles(
+        _df(spark, groups), "n", "lang",
+        pcts=(1, 25, 50, 75, 95, 99)).collect()}
+    assert set(got) == set(groups)
+    for g, vals in groups.items():
+        assert got[g]["n_docs"] == len(vals)
+        for p in (1, 25, 50, 75, 95, 99):
+            assert got[g][f"p{p}"] == _nearest_rank(vals, p), (g, p)
+
+
 def test_percentiles_per_stratum_independent(spark):
     df = _df(spark, {"a": [1, 2, 3, 4], "b": [100]})
     got = {r["lang"]: r for r in
