@@ -89,6 +89,21 @@ SHOWN = [
      "weights are LITERALS in one whole-stage-codegen projection "
      "(no model join, no UDF); the only exchange is the final tiny "
      "(source, bucket) aggregate."),
+    ("events_funnel",
+     "Strict-sequence funnel: stage-type filter pushed to the scan, "
+     "ONE hash exchange by user, stacked min(CASE) windows + the "
+     "per-user reduce behind it (stage k references stage k-1 as a "
+     "per-user-constant column — projections, not passes)."),
+    ("doc_split_assign",
+     "Train/val/test assignment: pure map-side projection (cumulative "
+     "md5 basis-point thresholds); the only exchange is the tiny "
+     "(split, lang) audit aggregate."),
+    ("doc_inverted_index",
+     "Posting-list build, skew-guarded: document-frequency counts "
+     "shuffle first (never lists); the cold-term set broadcasts into "
+     "the posting aggregation, so every collect_list buffer is "
+     "bounded by max_df by construction; hot terms surface as "
+     "null-postings rows."),
     ("doc_temperature_mix",
      "Temperature-2 mixing: the rates side is a column-pruned count "
      "aggregate over thousands-at-most strata, re-broadcast against "
