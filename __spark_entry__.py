@@ -16,11 +16,11 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 66 — so sixteen entries rotate out of the driver's
+the dict holds 67 — so seventeen entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions ``doc_boilerplate``,
 ``doc_temperature_mix``, ``doc_length_stats``, ``doc_split_assign``,
-``events_funnel``, ``doc_inverted_index``,
+``events_funnel``, ``doc_inverted_index``, ``doc_keywords``,
 ``doc_pii_redact``,
 ``doc_quality_model``, ``doc_epoch_shuffle``, ``doc_decontaminate``,
 ``stream_dedup_exact``, ``doc_pack_sequences``)
@@ -1152,6 +1152,24 @@ def doc_inverted_index(spark, sf_dir):
     return built.unionByName(hot_rows).orderBy("term")
 
 
+def doc_keywords(spark, sf_dir):
+    """Integer-TF-IDF keyword extraction (operators/index.py
+    rare_terms_per_doc): each doc's 3 globally-rarest terms, ranked
+    by (df, term) — rarest-first == highest-idf-first without any
+    float idf. Frequency dim joins by term (AQE-broadcast here), one
+    exchange by doc for the bounded top-k window."""
+    from console_log_parser_spark.operators.index import (
+        rare_terms_per_doc)
+    docs = _t(spark, sf_dir, "documents")
+    kw = rare_terms_per_doc(docs, k=3)
+    return (kw.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("array_join(transform(keywords, x -> x.term), ',')")
+        .alias("kw_csv"),
+        F.col("rarest_df").cast("long").alias("rarest_df"))
+        .orderBy("doc_id"))
+
+
 def doc_pii_redact(spark, sf_dir):
     """PII redaction (operators/redact.py): per-doc hit counts per PII
     class and the md5 of the scrubbed text. The synthetic corpus has no
@@ -1310,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assign": doc_split_assign,
         "events_funnel": events_funnel,
         "doc_inverted_index": doc_inverted_index,
+        "doc_keywords": doc_keywords,
         "doc_pii_redact": doc_pii_redact,
         "doc_quality_model": doc_quality_model,
         "doc_epoch_shuffle": doc_epoch_shuffle,
@@ -2197,6 +2216,35 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # engines, everything downstream is integer; // floors == div
         # truncation (non-negative operands); the md5 basis-point
         # bucket is the same portable expression doc_sample_mix pins
+        # integer-TF-IDF keywords: rank by (df, term) — total order,
+        # so row_number and the csv aggregation agree across engines;
+        # string_agg ORDER BY (df, term) == sort_array of
+        # struct(df_docs, term) projected to term
+        "doc_keywords": """
+            WITH terms AS (
+                SELECT doc_id,
+                       unnest(list_distinct(string_split(text, ' ')))
+                           AS term
+                FROM documents
+            ),
+            clean AS (SELECT * FROM terms WHERE term <> ''),
+            freqs AS (
+                SELECT term, count(*) AS df_docs
+                FROM clean GROUP BY 1
+            ),
+            ranked AS (
+                SELECT c.doc_id, c.term, f.df_docs,
+                       row_number() OVER (PARTITION BY c.doc_id
+                           ORDER BY f.df_docs, c.term) AS rk
+                FROM clean c JOIN freqs f USING (term)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   string_agg(term, ',' ORDER BY df_docs, term)
+                       AS kw_csv,
+                   CAST(min(df_docs) AS BIGINT) AS rarest_df
+            FROM ranked WHERE rk <= 3
+            GROUP BY doc_id ORDER BY doc_id
+        """,
         # inverted index: per-doc DISTINCT terms (list_distinct ==
         # array_distinct), postings sorted numerically in the
         # aggregate (string_agg ORDER BY doc_id == sort_array on

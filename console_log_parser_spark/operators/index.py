@@ -26,7 +26,7 @@ can route them to the stop list or a chunked encoding.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,6 +46,35 @@ def document_frequencies(df: DataFrame, text_col: str = "text",
     return (_term_stream(df, text_col, doc_col)
             .groupBy("term")
             .agg(F.count("*").alias("df_docs")))
+
+
+def rare_terms_per_doc(df: DataFrame, k: int,
+                       text_col: str = "text",
+                       doc_col: str = "doc_id") -> DataFrame:
+    """Keyword extraction as the INTEGER analog of TF-IDF: each
+    document's ``k`` globally-rarest distinct terms, ranked by
+    ``(document frequency, term)`` — a total order, so the result is
+    deterministic without any float idf (same integer discipline as
+    the sampler's basis points; ``log(N/df)`` is monotone-decreasing
+    in df, so rarest-first IS highest-idf-first).
+
+    Plan: the frequency dimension joins the term stream by term
+    (left to Catalyst/AQE — broadcast while the vocabulary is small,
+    shuffle join at web-corpus vocabulary sizes), then ONE exchange
+    by document for the per-doc top-k window; per-doc state is
+    bounded by document length. Returns
+    ``(doc, keywords array<struct<df_docs, term>>, rarest_df)`` with
+    the array sorted rarest-first."""
+    freqs = document_frequencies(df, text_col, doc_col)
+    stream = _term_stream(df, text_col, doc_col)
+    w = Window.partitionBy(doc_col).orderBy("df_docs", "term")
+    return (stream.join(freqs, "term")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .groupBy(doc_col)
+            .agg(F.sort_array(F.collect_list(
+                     F.struct("df_docs", "term"))).alias("keywords"),
+                 F.min("df_docs").alias("rarest_df")))
 
 
 def build_postings(df: DataFrame, max_df: int,

@@ -45,6 +45,21 @@ def test_postings_deterministic_under_repartition(spark):
     assert x["postings"] == sorted(x["postings"])
 
 
+def test_rare_terms_rank_and_ties(spark):
+    from console_log_parser_spark.operators.index import (
+        rare_terms_per_doc)
+    # df: a=2, b=3, c=2, the=1 (from CORPUS); doc 1 has {a,b,c}:
+    # rarest-2 = (the absent) -> a(2) then c(2) by term tie-break
+    got = {r["doc_id"]: ([s["term"] for s in r["keywords"]],
+                         r["rarest_df"])
+           for r in rare_terms_per_doc(_df(spark, CORPUS),
+                                       k=2).collect()}
+    assert got[1] == (["a", "c"], 2)       # tie at df=2: term order
+    assert got[2] == (["c", "b"], 2)       # c(2) before b(3)
+    assert got[3] == (["a"], 2)            # fewer terms than k
+    assert got[4] == (["the", "b"], 1)     # the(1) rarest overall
+
+
 def test_hot_guard_is_broadcast_before_collect(spark):
     plan = build_postings(_df(spark, CORPUS), max_df=2)[0] \
         ._jdf.queryExecution().executedPlan().toString()
