@@ -16,11 +16,12 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 67 — so seventeen entries rotate out of the driver's
+the dict holds 68 — so eighteen entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions ``doc_boilerplate``,
 ``doc_temperature_mix``, ``doc_length_stats``, ``doc_split_assign``,
 ``events_funnel``, ``doc_inverted_index``, ``doc_keywords``,
+``stream_funnel``,
 ``doc_pii_redact``,
 ``doc_quality_model``, ``doc_epoch_shuffle``, ``doc_decontaminate``,
 ``stream_dedup_exact``, ``doc_pack_sequences``)
@@ -465,6 +466,46 @@ def stream_sessionize(spark, sf_dir):
             .groupBy("user_id")
             .agg(F.max("n_sessions").alias("n_sessions"),
                  F.max("n_events").alias("n_events")))
+
+
+def stream_funnel(spark, sf_dir):
+    """Streaming strict-sequence funnel (streaming/jobs.py
+    stateful_funnel) driven over a 2-file time-ordered stream: the
+    per-user first-touch stage times carried across micro-batches
+    must equal the batch funnel (operators/funnel.py), which is what
+    the SQL oracle computes. Stage times are set-once, so max over
+    the update-mode sink rows == final state."""
+    import glob
+    import shutil
+    import tempfile
+
+    _ship_package(spark)
+    from console_log_parser_spark.streaming import jobs
+
+    d = tempfile.mkdtemp(prefix="stream_funnel_")
+    src = f"{d}/src"
+    os.makedirs(src)
+    ev = _t(spark, sf_dir, "events").orderBy("ts", "event_id")
+    cut = ev.selectExpr("percentile_approx(ts, 0.5) p").first()["p"]
+    for i, part in enumerate((ev.filter(F.col("ts") <= cut),
+                              ev.filter(F.col("ts") > cut))):
+        pdir = f"{d}/p{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        for j, f in enumerate(sorted(glob.glob(f"{pdir}/*.parquet"))):
+            shutil.copy(f, f"{src}/{i:02d}_{j}.parquet")
+
+    _STREAM_SEQ[0] += 1
+    qname = f"stream_funnel_{_STREAM_SEQ[0]}"
+    q = jobs.run_stateful_funnel(spark, src, f"{d}/ckpt", qname,
+                                 max_files_per_trigger=1)
+    q.awaitTermination(300)
+    return (spark.sql(f"SELECT * FROM {qname}")
+            .groupBy("user_id")
+            .agg(F.max("t1_us").alias("t1_us"),
+                 F.max("t2_us").alias("t2_us"),
+                 F.max("t3_us").alias("t3_us"))
+            .withColumn("user_id", F.col("user_id").cast("long"))
+            .orderBy("user_id"))
 
 
 def doc_pack_sequences(spark, sf_dir):
@@ -1329,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "doc_inverted_index": doc_inverted_index,
         "doc_keywords": doc_keywords,
+        "stream_funnel": stream_funnel,
         "doc_pii_redact": doc_pii_redact,
         "doc_quality_model": doc_quality_model,
         "doc_epoch_shuffle": doc_epoch_shuffle,
@@ -2216,6 +2258,38 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # engines, everything downstream is integer; // floors == div
         # truncation (non-negative operands); the md5 basis-point
         # bucket is the same portable expression doc_sample_mix pins
+        # streaming funnel twin: the carried-state stream result must
+        # equal the batch funnel — identical CTE chain to
+        # events_funnel but per user, stage times as epoch
+        # microseconds (tz-free NTZ arithmetic in both engines)
+        "stream_funnel": """
+            WITH ev AS (
+                SELECT user_id, ts, event_type FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            w1 AS (
+                SELECT *, min(CASE WHEN event_type = 'view' THEN ts
+                              END) OVER (PARTITION BY user_id) AS t1
+                FROM ev
+            ),
+            w2 AS (
+                SELECT *, min(CASE WHEN event_type = 'click'
+                                    AND ts > t1 THEN ts
+                              END) OVER (PARTITION BY user_id) AS t2
+                FROM w1
+            ),
+            w3 AS (
+                SELECT *, min(CASE WHEN event_type = 'purchase'
+                                    AND ts > t2 THEN ts
+                              END) OVER (PARTITION BY user_id) AS t3
+                FROM w2
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(max(epoch_us(t1)) AS BIGINT) AS t1_us,
+                   CAST(max(epoch_us(t2)) AS BIGINT) AS t2_us,
+                   CAST(max(epoch_us(t3)) AS BIGINT) AS t3_us
+            FROM w3 GROUP BY user_id ORDER BY user_id
+        """,
         # integer-TF-IDF keywords: rank by (df, term) — total order,
         # so row_number and the csv aggregation agree across engines;
         # string_agg ORDER BY (df, term) == sort_array of

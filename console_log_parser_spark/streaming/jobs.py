@@ -153,6 +153,82 @@ def run_stateful_sessionize(spark: SparkSession, in_dir: str,
             .start())
 
 
+FUNNEL_STATE_DDL = "t1_us long, t2_us long, t3_us long"
+FUNNEL_OUT_DDL = "user_id long, t1_us long, t2_us long, t3_us long"
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _funnel_fn(key: tuple, pdf_iter: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+    """Streaming twin of ``operators/funnel.funnel_times``: carry the
+    first-touch stage timestamps per user across micro-batches. Stage
+    times are SET-ONCE (monotone): once stage k fires, later batches
+    can only set stage k+1, so state is three nullable longs no
+    matter how long the stream runs. Within a batch each stage is a
+    vectorized masked min; a stage set by THIS batch immediately
+    gates the next stage's mask, so intra-batch chains (view and
+    click in one batch) resolve exactly like the batch operator.
+    Assumes time-ordered arrival across batches (same contract as
+    the sessionizer); late cross-batch stragglers need the batch
+    operator over a corrected replay."""
+    import numpy as np
+
+    t = list(state.get) if state.exists else [None] * len(FUNNEL_STAGES)
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        et = pdf["event_type"].to_numpy()
+        for i, stage in enumerate(FUNNEL_STAGES):
+            if t[i] is not None:
+                continue
+            if i and t[i - 1] is None:
+                break  # chain not reached; later stages can't fire
+            mask = et == stage
+            if i:
+                mask &= ts_us > t[i - 1]
+            if mask.any():
+                t[i] = int(ts_us[mask].min())
+    state.update(tuple(t))
+    yield pd.DataFrame({"user_id": [key[0]],
+                        "t1_us": [t[0]], "t2_us": [t[1]],
+                        "t3_us": [t[2]]})
+
+
+def stateful_funnel(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user strict-sequence funnel with
+    cross-micro-batch state (applyInPandasWithState). The stage-type
+    filter runs BEFORE the stateful exchange — only funnel events
+    shuffle or enter state."""
+    from pyspark.sql import functions as F
+    return (events.filter(F.col("event_type").isin(list(FUNNEL_STAGES)))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _funnel_fn,
+                outputStructType=FUNNEL_OUT_DDL,
+                stateStructType=FUNNEL_STATE_DDL,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_stateful_funnel(spark: SparkSession, in_dir: str,
+                        checkpoint_dir: str, query_name: str,
+                        max_files_per_trigger: int = 1):
+    """Drive the stateful funnel over a file stream into a memory sink
+    (update mode); returns the started query."""
+    events = (spark.readStream.schema(EVENTS_SCHEMA_DDL)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(in_dir))
+    out = stateful_funnel(events)
+    return (out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def run_dedup_exact(spark: SparkSession, in_dir: str,
                     checkpoint_dir: str, query_name: str,
                     watermark: str = "2 days",

@@ -168,3 +168,38 @@ def test_stream_dedup_exact_survives_redelivery(spark, events_split_dir,
             ev.groupBy("event_type").agg(F.count("*").alias("n"))
             .collect()}
     assert got == want
+
+
+def test_stateful_funnel_matches_batch(spark, events_split_dir,
+                                       tmp_path_factory):
+    """The carried-state streaming funnel over 4 time-ordered
+    micro-batches must equal the batch funnel operator on the same
+    events — including chains that only complete across batch
+    boundaries."""
+    from console_log_parser_spark.operators.funnel import funnel_times
+    from console_log_parser_spark.streaming import jobs
+    ckpt = str(tmp_path_factory.mktemp("funnel_ckpt"))
+    q = jobs.run_stateful_funnel(
+        spark, events_split_dir, ckpt, query_name="funnel_test",
+        max_files_per_trigger=1)
+    _wait(q)
+    # stage times are set-once -> max over update rows == final state
+    final = {r["user_id"]: (r["t1_us"], r["t2_us"], r["t3_us"])
+             for r in (spark.sql("SELECT * FROM funnel_test")
+                       .groupBy("user_id")
+                       .agg(F.max("t1_us").alias("t1_us"),
+                            F.max("t2_us").alias("t2_us"),
+                            F.max("t3_us").alias("t3_us"))
+                       .collect())}
+    ev = spark.read.parquet(events_split_dir)
+    us = [f"timestampdiff(MICROSECOND, timestamp'1970-01-01', t{i})"
+          for i in (1, 2, 3)]
+    want = {r["user_id"]: (r["u1"], r["u2"], r["u3"])
+            for r in funnel_times(ev, ["view", "click", "purchase"])
+            .selectExpr("user_id", f"{us[0]} as u1",
+                        f"{us[1]} as u2", f"{us[2]} as u3")
+            .collect()}
+    assert final == want
+    # at least one user must have completed the chain for the test to
+    # mean anything
+    assert any(t[2] is not None for t in final.values())
