@@ -16,12 +16,12 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 68 — so eighteen entries rotate out of the driver's
+the dict holds 69 — so nineteen entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions ``doc_boilerplate``,
 ``doc_temperature_mix``, ``doc_length_stats``, ``doc_split_assign``,
 ``events_funnel``, ``doc_inverted_index``, ``doc_keywords``,
-``stream_funnel``,
+``stream_funnel``, ``events_rate_outliers``,
 ``doc_pii_redact``,
 ``doc_quality_model``, ``doc_epoch_shuffle``, ``doc_decontaminate``,
 ``stream_dedup_exact``, ``doc_pack_sequences``)
@@ -279,6 +279,37 @@ def events_funnel(spark, sf_dir):
                  F.sum(hop1).cast("long").alias("hop1_us"),
                  F.sum(hop2).cast("long").alias("hop2_us"))
             .orderBy("cohort"))
+
+
+def events_rate_outliers(spark, sf_dir):
+    """Log-monitoring composition: hourly event counts per type, then
+    outlier hours flagged against the EXACT median hourly rate from
+    operators/stats.histogram_percentiles (counts are a bounded
+    integer domain — the sortless histogram path). Outlier rule is
+    integer-only: cnt * 2 > median * 3 (i.e. cnt > 1.5x median).
+    Two tiny aggregations ride on one corpus-wide (type, hour)
+    count; the medians dimension broadcast-joins back."""
+    from console_log_parser_spark.operators.stats import (
+        histogram_percentiles)
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.withColumn(
+        "hour", F.expr("timestampdiff(HOUR, timestamp'1970-01-01', ts)")
+        .cast("long"))
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("cnt")))
+    med = (histogram_percentiles(hourly, "cnt", "event_type",
+                                 pcts=(50,))
+           .select("event_type", F.col("p50").alias("median_cnt")))
+    return (hourly.join(F.broadcast(med), "event_type")
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_hours"),
+                 F.max("median_cnt").cast("long").alias("median_cnt"),
+                 F.sum(F.when(F.col("cnt") * 2 >
+                              F.col("median_cnt") * 3, 1)
+                       .otherwise(0)).cast("long")
+                 .alias("n_outlier_hours"),
+                 F.max("cnt").cast("long").alias("max_cnt"))
+            .orderBy("event_type"))
 
 
 def events_range_join(spark, sf_dir):
@@ -1371,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_inverted_index": doc_inverted_index,
         "doc_keywords": doc_keywords,
         "stream_funnel": stream_funnel,
+        "events_rate_outliers": events_rate_outliers,
         "doc_pii_redact": doc_pii_redact,
         "doc_quality_model": doc_quality_model,
         "doc_epoch_shuffle": doc_epoch_shuffle,
@@ -2258,6 +2290,46 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # engines, everything downstream is integer; // floors == div
         # truncation (non-negative operands); the md5 basis-point
         # bucket is the same portable expression doc_sample_mix pins
+        # rate outliers: hour buckets via epoch-hour division (both
+        # engines floor non-negative values); median hourly count via
+        # the same explicit histogram/rank SQL doc_length_stats pins;
+        # outlier rule in integers (cnt*2 > median*3)
+        "events_rate_outliers": """
+            WITH hourly AS (
+                SELECT event_type,
+                       CAST(date_diff('hour',
+                            TIMESTAMP '1970-01-01', ts) AS BIGINT)
+                           AS hour,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            hist AS (
+                SELECT event_type, cnt AS v, count(*) AS c
+                FROM hourly GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT event_type, v, c,
+                       sum(c) OVER (PARTITION BY event_type
+                                    ORDER BY v) AS cum,
+                       sum(c) OVER (PARTITION BY event_type) AS n
+                FROM hist
+            ),
+            med AS (
+                SELECT event_type,
+                       min(CASE WHEN cum >= (50 * n + 99) // 100
+                           THEN v END) AS median_cnt
+                FROM cum GROUP BY event_type
+            )
+            SELECT h.event_type,
+                   CAST(count(*) AS BIGINT) AS n_hours,
+                   CAST(max(m.median_cnt) AS BIGINT) AS median_cnt,
+                   CAST(sum(CASE WHEN h.cnt * 2 > m.median_cnt * 3
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outlier_hours,
+                   CAST(max(h.cnt) AS BIGINT) AS max_cnt
+            FROM hourly h JOIN med m USING (event_type)
+            GROUP BY h.event_type ORDER BY h.event_type
+        """,
         # streaming funnel twin: the carried-state stream result must
         # equal the batch funnel — identical CTE chain to
         # events_funnel but per user, stage times as epoch
