@@ -104,6 +104,14 @@ SHOWN = [
      "the posting aggregation, so every collect_list buffer is "
      "bounded by max_df by construction; hot terms surface as "
      "null-postings rows."),
+    ("doc_keywords",
+     "Integer-TF-IDF keywords: frequency dim joined by term "
+     "(AQE-broadcast at this vocabulary), ONE exchange by doc for "
+     "the bounded top-k window; no float idf anywhere."),
+    ("events_rate_outliers",
+     "Rate anomaly composition: one corpus-wide (type, hour) count; "
+     "the median-per-type dimension comes from the domain-bounded "
+     "histogram window and broadcast-joins back."),
     ("doc_temperature_mix",
      "Temperature-2 mixing: the rates side is a column-pruned count "
      "aggregate over thousands-at-most strata, re-broadcast against "
