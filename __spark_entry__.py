@@ -16,9 +16,10 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 69 — so nineteen entries rotate out of the driver's
+the dict holds 72 — so twenty-two entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
-never yet driver-recorded (the round-4 additions ``doc_boilerplate``,
+never yet driver-recorded (the round-4 additions ``doc_bpe_pairs``,
+``doc_bpe_learn``, ``doc_vocab_coverage``, ``doc_boilerplate``,
 ``doc_temperature_mix``, ``doc_length_stats``, ``doc_split_assign``,
 ``events_funnel``, ``doc_inverted_index``, ``doc_keywords``,
 ``stream_funnel``, ``events_rate_outliers``,
@@ -1378,6 +1379,40 @@ def events_type_cube(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+def doc_bpe_pairs(spark, sf_dir):
+    """Tokenizer-vocabulary induction, step 0 (operators/vocab.py):
+    the top-20 adjacent character pairs within words — the candidate
+    set for the first BPE merge. Map-side double explode, one
+    partial+final count exchange over a |charset|^2-bounded domain,
+    tiny post-limit rank window."""
+    from console_log_parser_spark.operators.vocab import bpe_pair_counts
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_k=20)
+
+
+def doc_bpe_learn(spark, sf_dir):
+    """BPE merge learning (operators/vocab.py): 6 merges over the
+    distinct-word weighted symbol frame; returns the merge table
+    (step, left, right, merged, cnt). Each iteration is one agg over
+    the persisted word frame + a 1-row argmax collect + a map-side
+    literal replace; the DuckDB oracle is the same algorithm unrolled
+    as a 6-level CTE chain over a US-joined symbol string, so the
+    iterative loop still gets the full rows+schema+hash gate."""
+    from console_log_parser_spark.operators.vocab import bpe_learn
+    return bpe_learn(_t(spark, sf_dir, "documents"), n_merges=6)
+
+
+def doc_vocab_coverage(spark, sf_dir):
+    """Per-source OOV rate against the corpus's own top-20 word
+    vocabulary (operators/vocab.py): (source, n_tokens, n_oov,
+    oov_bp). The vocabulary is broadcast; the corpus side is a
+    map-side explode + broadcast left join; integer basis points so
+    the boundary can never float apart from the oracle. Production K
+    is 10^5-10^6 (still MBs, still broadcast); K=20 here because the
+    synthetic vocabulary has only 31 distinct words."""
+    from console_log_parser_spark.operators.vocab import vocab_oov_stats
+    return vocab_oov_stats(_t(spark, sf_dir, "documents"), vocab_k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate (see module docstring, "recording-window
     # rotation policy"): the driver records the first 50 entries only.
@@ -1394,6 +1429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of the parse twins, and re-verified this round in
     # CORRECTNESS_local_r04.json.
     return {
+        "doc_bpe_pairs": doc_bpe_pairs,
+        "doc_bpe_learn": doc_bpe_learn,
+        "doc_vocab_coverage": doc_vocab_coverage,
         "doc_boilerplate": doc_boilerplate,
         "doc_temperature_mix": doc_temperature_mix,
         "doc_length_stats": doc_length_stats,
@@ -1469,6 +1507,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_word_topk": doc_word_topk,
     }
+
+
+def _bpe_learn_oracle(n_merges: int) -> str:
+    """DuckDB twin of operators/vocab.py::bpe_learn — the same
+    greedy-merge algorithm unrolled as an ``n_merges``-level CTE chain
+    over the US-joined symbol string (replace() is left-to-right
+    non-overlapping in both engines, which IS the BPE merge rule), so
+    the iterative operator keeps the full rows+schema+hash gate."""
+    ctes = ["""w0 AS (
+            SELECT array_to_string(list_transform(
+                       range(1, length(w) + 1), i -> w[i:i]),
+                       chr(31)) AS s,
+                   CAST(count(*) AS BIGINT) AS wc
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> '' GROUP BY 1
+        )"""]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            "p{k} AS (SELECT wc, unnest(list_transform(range(1, len(p)),"
+            " i -> {{'l': p[i], 'r': p[i + 1]}})) AS u"
+            " FROM (SELECT wc, string_split(s, chr(31)) AS p FROM w{j})"
+            " WHERE len(p) >= 2)".format(k=k, j=k - 1))
+        ctes.append(
+            "c{k} AS (SELECT u['l'] AS l, u['r'] AS r,"
+            " CAST(sum(wc) AS BIGINT) AS cnt FROM p{k}"
+            " GROUP BY 1, 2)".format(k=k))
+        ctes.append(
+            "t{k} AS (SELECT l, r, cnt FROM c{k}"
+            " ORDER BY cnt DESC, l, r LIMIT 1)".format(k=k))
+        if k < n_merges:
+            ctes.append(
+                "w{k} AS (SELECT replace(s,"
+                " (SELECT l || chr(31) || r FROM t{k}),"
+                " (SELECT l || r FROM t{k})) AS s, wc"
+                " FROM w{j})".format(k=k, j=k - 1))
+    finals = [
+        'SELECT CAST({k} AS BIGINT) AS step, l AS "left", r AS "right",'
+        " l || r AS merged, cnt FROM t{k}".format(k=k)
+        for k in range(1, n_merges + 1)]
+    return ("WITH " + ",\n        ".join(ctes) + "\n        "
+            + "\n        UNION ALL ".join(finals))
 
 
 def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
@@ -2604,6 +2684,51 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(10000 * coalesce(n_boiler_occ, 0) // n_gram_occ
                        AS BIGINT) AS boiler_bp
             FROM tot LEFT JOIN b USING (doc_id)
+        """,
+        "doc_bpe_pairs": """
+            WITH words AS (
+                SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ),
+            pairs AS (
+                SELECT unnest(list_transform(range(1, length(w)),
+                                             i -> w[i:i+1])) AS pair
+                FROM words WHERE length(w) >= 2
+            ),
+            cnt AS (
+                SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+                FROM pairs GROUP BY pair
+            ),
+            top AS (
+                SELECT pair, cnt FROM cnt ORDER BY cnt DESC, pair LIMIT 20
+            )
+            SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair)
+                       AS BIGINT) AS "rank", pair, cnt
+            FROM top
+        """,
+        "doc_bpe_learn": _bpe_learn_oracle(6),
+        "doc_vocab_coverage": """
+            WITH nz AS (
+                SELECT source, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ),
+            toks AS (SELECT source, w FROM nz WHERE w <> ''),
+            vocab AS (
+                SELECT w AS vw FROM (
+                    SELECT w, count(*) AS c FROM toks
+                    GROUP BY w ORDER BY c DESC, w LIMIT 20)
+            ),
+            j AS (
+                SELECT toks.source, vocab.vw
+                FROM toks LEFT JOIN vocab ON toks.w = vocab.vw
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_oov,
+                   CAST(10000 * sum(CASE WHEN vw IS NULL THEN 1 ELSE 0
+                       END) // count(*) AS BIGINT) AS oov_bp
+            FROM j GROUP BY source
         """,
         "doc_decontaminate": """
             WITH words AS (

@@ -1,0 +1,84 @@
+"""Tokenizer-vocabulary induction (operators/vocab.py)."""
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from console_log_parser_spark.operators.vocab import (
+    US, bpe_learn, bpe_pair_counts, symbol_words, vocab_oov_stats)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, f"s{i % 2}") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string")
+
+
+def test_pair_counts_match_brute_force(spark):
+    texts = ["the cat sat on the mat", "a banana and an ananas", "zz z"]
+    want = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            for i in range(len(w) - 1):
+                want[w[i:i + 2]] += 1
+    got = {r["pair"]: r["cnt"]
+           for r in bpe_pair_counts(_docs(spark, texts),
+                                    top_k=100).collect()}
+    assert got == dict(want)
+
+
+def test_pair_rank_tiebreak_is_pair_ascending(spark):
+    rows = bpe_pair_counts(_docs(spark, ["ab cd ab cd"]),
+                           top_k=10).collect()
+    assert [(r["rank"], r["pair"], r["cnt"]) for r in rows] == [
+        (1, "ab", 2), (2, "cd", 2)]
+
+
+def test_bpe_merge_is_greedy_nonoverlapping(spark):
+    # "aaaa" + merge (a,a) -> [aa, aa]; "aaa" -> [aa, a] so a second
+    # (a,a) count exists only where two singles remain adjacent.
+    m = bpe_learn(_docs(spark, ["aaa aaa"]), n_merges=2).collect()
+    assert [(r["step"], r["left"], r["right"], r["merged"], r["cnt"])
+            for r in m] == [(1, "a", "a", "aa", 4), (2, "aa", "a", "aaa", 2)]
+
+
+def test_bpe_learn_uses_merged_symbols(spark):
+    # after merging the dominant pair, later merges must see the new
+    # symbol — "ababab" repeated: (a,b) first, then (ab,ab).
+    m = bpe_learn(_docs(spark, ["ababab ababab ababab"]),
+                  n_merges=2).collect()
+    assert (m[0]["left"], m[0]["right"], m[0]["merged"]) == ("a", "b", "ab")
+    assert (m[1]["left"], m[1]["right"], m[1]["merged"]) == ("ab", "ab",
+                                                             "abab")
+
+
+def test_bpe_learn_stops_when_no_pairs_remain(spark):
+    m = bpe_learn(_docs(spark, ["ab ab"]), n_merges=5).collect()
+    # "ab" -> one merge leaves single-symbol words; loop must stop.
+    assert len(m) == 1 and m[0]["merged"] == "ab"
+
+
+def test_symbol_words_weights_are_word_counts(spark):
+    rows = {r["s"]: r["wc"] for r in
+            symbol_words(_docs(spark, ["ab ab cd", "ab"])).collect()}
+    assert rows == {f"a{US}b": 3, f"c{US}d": 1}
+
+
+def test_oov_stats_hand_case(spark):
+    # vocab_k=1 -> vocab == the single most frequent word ("x").
+    df = _docs(spark, ["x x y", "x z"])
+    rows = {r["source"]: (r["n_tokens"], r["n_oov"], r["oov_bp"])
+            for r in vocab_oov_stats(df, vocab_k=1).collect()}
+    assert rows == {"s0": (3, 1, 3333), "s1": (2, 1, 5000)}
+
+
+def test_vocab_join_is_broadcast_no_python_udf(spark):
+    df = _docs(spark, ["a b c d e f", "a a b"])
+    plan = (vocab_oov_stats(df, vocab_k=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    pairs_plan = (bpe_pair_counts(df, top_k=5)
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in pairs_plan
