@@ -16,9 +16,10 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 72 — so twenty-two entries rotate out of the driver's
+the dict holds 73 — so twenty-three entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
-never yet driver-recorded (the round-4 additions ``doc_bpe_pairs``,
+never yet driver-recorded (the round-4 additions
+``events_heavy_hitters``, ``doc_bpe_pairs``,
 ``doc_bpe_learn``, ``doc_vocab_coverage``, ``doc_boilerplate``,
 ``doc_temperature_mix``, ``doc_length_stats``, ``doc_split_assign``,
 ``events_funnel``, ``doc_inverted_index``, ``doc_keywords``,
@@ -1379,6 +1380,20 @@ def events_type_cube(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+def events_heavy_hitters(spark, sf_dir):
+    """Sketch-prefiltered EXACT heavy hitters (operators/sketch.py):
+    users with event support > 1/140. Per-partition Misra-Gries
+    (width 280, bounded memory) exchanges only <= width candidates per
+    partition — never the distinct-key domain — then a broadcast
+    semi-join exact recount and an integer threshold make the result
+    provably exact under any partitioning. k=140 selects 41/150 users
+    at sf0.01 (the synthetic user distribution is near-uniform, so the
+    local prefilter is permissive here; at web scale, heavy-tailed
+    keys are exactly where the candidate exchange collapses)."""
+    from console_log_parser_spark.operators.sketch import frequent_items
+    return frequent_items(_t(spark, sf_dir, "events"), "user_id", k=140)
+
+
 def doc_bpe_pairs(spark, sf_dir):
     """Tokenizer-vocabulary induction, step 0 (operators/vocab.py):
     the top-20 adjacent character pairs within words — the candidate
@@ -1429,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of the parse twins, and re-verified this round in
     # CORRECTNESS_local_r04.json.
     return {
+        "events_heavy_hitters": events_heavy_hitters,
         "doc_bpe_pairs": doc_bpe_pairs,
         "doc_bpe_learn": doc_bpe_learn,
         "doc_vocab_coverage": doc_vocab_coverage,
@@ -2684,6 +2700,14 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(10000 * coalesce(n_boiler_occ, 0) // n_gram_occ
                        AS BIGINT) AS boiler_bp
             FROM tot LEFT JOIN b USING (doc_id)
+        """,
+        "events_heavy_hitters": """
+            WITH c AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY user_id
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+            SELECT user_id, cnt FROM c, n WHERE cnt * 140 > total
         """,
         "doc_bpe_pairs": """
             WITH words AS (
