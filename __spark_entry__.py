@@ -16,10 +16,10 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 73 — so twenty-three entries rotate out of the driver's
+the dict holds 74 — so twenty-four entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions
-``events_heavy_hitters``, ``doc_bpe_pairs``,
+``doc_span_dedup``, ``events_heavy_hitters``, ``doc_bpe_pairs``,
 ``doc_bpe_learn``, ``doc_vocab_coverage``, ``doc_boilerplate``,
 ``doc_temperature_mix``, ``doc_length_stats``, ``doc_split_assign``,
 ``events_funnel``, ``doc_inverted_index``, ``doc_keywords``,
@@ -1380,6 +1380,22 @@ def events_type_cube(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+def doc_span_dedup(spark, sf_dir):
+    """C4-style corpus-level exact span dedup (operators/span_dedup.py):
+    every repeated 5-word chunk occurrence is dropped except the
+    canonical smallest-(doc_id, cidx) owner; per document the surviving
+    text plus chunk/drop counts. Owner election is a map-side-combined
+    min(struct) over the md5(chunk) digest key — a chunk repeated 10^9
+    times exchanges one row per map task, and the occurrence join is
+    AQE-skew-splittable (a window row_number over the chunk key would
+    pin hot keys to one task). w=5 gives ~10% duplicate occurrences on
+    the synthetic corpus at sf0.01."""
+    from console_log_parser_spark.operators.span_dedup import \
+        span_dedup_stats
+    return (span_dedup_stats(_t(spark, sf_dir, "documents"), w=5)
+            .orderBy("doc_id"))
+
+
 def events_heavy_hitters(spark, sf_dir):
     """Sketch-prefiltered EXACT heavy hitters (operators/sketch.py):
     users with event support > 1/140. Per-partition Misra-Gries
@@ -1444,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of the parse twins, and re-verified this round in
     # CORRECTNESS_local_r04.json.
     return {
+        "doc_span_dedup": doc_span_dedup,
         "events_heavy_hitters": events_heavy_hitters,
         "doc_bpe_pairs": doc_bpe_pairs,
         "doc_bpe_learn": doc_bpe_learn,
@@ -2700,6 +2717,33 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(10000 * coalesce(n_boiler_occ, 0) // n_gram_occ
                        AS BIGINT) AS boiler_bp
             FROM tot LEFT JOIN b USING (doc_id)
+        """,
+        "doc_span_dedup": """
+            WITH words AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split(text, ' '), 1) - 1
+                           AS pos,
+                       unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ),
+            chunks AS (
+                SELECT doc_id, pos // 5 AS cidx,
+                       string_agg(w, ' ' ORDER BY pos) AS chunk
+                FROM words GROUP BY doc_id, pos // 5
+            ),
+            flagged AS (
+                SELECT doc_id, cidx, chunk,
+                       row_number() OVER (PARTITION BY chunk
+                                          ORDER BY doc_id, cidx) AS rn
+                FROM chunks
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dropped,
+                   coalesce(string_agg(chunk, ' ' ORDER BY cidx)
+                            FILTER (WHERE rn = 1), '') AS kept_text
+            FROM flagged GROUP BY doc_id ORDER BY doc_id
         """,
         "events_heavy_hitters": """
             WITH c AS (
