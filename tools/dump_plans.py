@@ -124,6 +124,32 @@ SHOWN = [
      "cumulative-sum window and nearest-rank aggregate run over the "
      "domain-bounded histogram frame. No sort ever touches the "
      "corpus relation."),
+    ("events_heavy_hitters",
+     "Exact heavy hitters: per-partition bounded-memory Misra-Gries "
+     "candidate pass (mapInPandas over the single key column — the "
+     "ONLY exchange it feeds is <= 2k candidate keys per partition), "
+     "then a BROADCAST semi-join exact recount and integer threshold. "
+     "The distinct-key domain never crosses the wire."),
+    ("doc_span_dedup",
+     "Corpus-level exact span dedup: map-side chunking (no per-word "
+     "explode), owner election as a PARTIAL-aggregable min(struct) "
+     "grouped on the md5(chunk) digest — hot chunks collapse to one "
+     "row per map task before the exchange, where a window over the "
+     "chunk key would pin them to a single task; occurrence join on "
+     "the digest (AQE-skew-splittable), reassembly keyed by doc id."),
+    ("doc_boilerplate",
+     "Corpus-frequency boilerplate: gram stream exchanged as md5 "
+     "hashes only, partial+final distinct-doc counting, recurring "
+     "grams broadcast back against the map-side re-explode."),
+    ("doc_bpe_pairs",
+     "BPE pair statistics: distinct-word weighted frame (ONE word "
+     "exchange), map-side adjacent-pair explode, partial+final "
+     "weighted count, bounded top-k via TakeOrderedAndProject."),
+    ("doc_vocab_coverage",
+     "Vocabulary OOV coverage: top-K vocab built with one word-count "
+     "exchange then BROADCAST; the corpus side is a map-side explode "
+     "+ broadcast left-semi probe; the only corpus-keyed exchange is "
+     "the per-source integer aggregate."),
     ("doc_epoch_shuffle",
      "Epoch-shuffle pin query: TakeOrderedAndProject — per-partition "
      "partial top-k on the md5 epoch key, never a global sort. The "
