@@ -16,10 +16,11 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 74 — so twenty-four entries rotate out of the driver's
+the dict holds 75 — so twenty-five entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions
-``doc_span_dedup``, ``events_heavy_hitters``, ``doc_bpe_pairs``,
+``doc_shard_manifest``, ``doc_span_dedup``, ``events_heavy_hitters``,
+``doc_bpe_pairs``,
 ``doc_bpe_learn``, ``doc_vocab_coverage``, ``doc_boilerplate``,
 ``doc_temperature_mix``, ``doc_length_stats``, ``doc_split_assign``,
 ``events_funnel``, ``doc_inverted_index``, ``doc_keywords``,
@@ -1380,6 +1381,21 @@ def events_type_cube(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+def doc_shard_manifest(spark, sf_dir):
+    """Training-data export manifest (sinks/shards.py): the corpus
+    sharded 16 ways by the deterministic md5 key (resume/retry places
+    every doc in the same shard), with per-shard doc count, word
+    count, and an order-invariant commutative content checksum (sum of
+    48-bit md5 prefixes) that any engine can recompute from the same
+    bytes. Assignment is map-side; the only exchange is the 16-row
+    partial+final aggregate. The actual partitioned parquet write +
+    read-back attestation + partition pruning are pinned by
+    tests/test_shards.py (side-effecting, so not in the oracle
+    query)."""
+    from console_log_parser_spark.sinks.shards import shard_manifest
+    return shard_manifest(_t(spark, sf_dir, "documents"), n_shards=16)
+
+
 def doc_span_dedup(spark, sf_dir):
     """C4-style corpus-level exact span dedup (operators/span_dedup.py):
     every repeated 5-word chunk occurrence is dropped except the
@@ -1460,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of the parse twins, and re-verified this round in
     # CORRECTNESS_local_r04.json.
     return {
+        "doc_shard_manifest": doc_shard_manifest,
         "doc_span_dedup": doc_span_dedup,
         "events_heavy_hitters": events_heavy_hitters,
         "doc_bpe_pairs": doc_bpe_pairs,
@@ -2717,6 +2734,22 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(10000 * coalesce(n_boiler_occ, 0) // n_gram_occ
                        AS BIGINT) AS boiler_bp
             FROM tot LEFT JOIN b USING (doc_id)
+        """,
+        "doc_shard_manifest": """
+            WITH s AS (
+                SELECT CAST(('0x' || substring(md5('shard42' || doc_id),
+                                               1, 8))::BIGINT % 16
+                            AS BIGINT) AS shard,
+                       text
+                FROM documents
+            )
+            SELECT shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(string_split(text, ' ')))
+                        AS BIGINT) AS n_words,
+                   CAST(sum(('0x' || substring(md5(text), 1, 12))::BIGINT)
+                        AS BIGINT) AS content_sum
+            FROM s GROUP BY shard ORDER BY shard
         """,
         "doc_span_dedup": """
             WITH words AS (
