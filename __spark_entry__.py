@@ -16,9 +16,10 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 75 — so twenty-five entries rotate out of the driver's
+the dict holds 76 — so twenty-six entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions
+``doc_curation_pipeline``,
 ``doc_shard_manifest``, ``doc_span_dedup``, ``events_heavy_hitters``,
 ``doc_bpe_pairs``,
 ``doc_bpe_learn``, ``doc_vocab_coverage``, ``doc_boilerplate``,
@@ -1381,6 +1382,54 @@ def events_type_cube(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+def doc_curation_pipeline(spark, sf_dir):
+    """End-to-end curation composition — the 'switch to this repo and
+    run your whole pipeline' demonstration, five operators chained on
+    one frame: (1) corpus-level exact span dedup (operators/
+    span_dedup.py, w=5) rewrites each doc to its surviving chunks;
+    (2) quality gate keeps docs with >= 20 surviving words; (3)
+    benchmark decontamination (operators/decontam.py, word 4-grams of
+    the SURVIVING text, held-out slice doc_id % 97 == 0 broadcast)
+    drops contaminated docs; (4) deterministic md5-bucket sampling at
+    8000 bp (operators/sampling.py — resume/retry-identical); (5)
+    growth-stable train/val/test assignment (80/10/10). Audit output:
+    per-(split, lang) doc/word/dropped-chunk counts. Every stage is
+    the already-verified operator, so the one oracle gates the
+    COMPOSITION: stage order, column threading, and filter interplay.
+    """
+    from console_log_parser_spark.operators.decontam import \
+        contamination_counts
+    from console_log_parser_spark.operators.sampling import (
+        deterministic_sample, split_assign)
+    from console_log_parser_spark.operators.span_dedup import \
+        span_dedup_stats
+    docs = _t(spark, sf_dir, "documents")
+    span = span_dedup_stats(docs, w=5).select(
+        "doc_id", "n_dropped", "kept_text")
+    cur = (docs.select("doc_id", "lang")
+           .join(span, "doc_id")
+           .withColumn("n_words",
+                       F.when(F.col("kept_text") == "", F.lit(0))
+                       .otherwise(F.size(F.split("kept_text", " ")))
+                       .cast("long")))
+    q = cur.filter(F.col("n_words") >= 20)
+    bench = q.filter(F.col("doc_id") % 97 == 0)
+    corpus = q.filter(F.col("doc_id") % 97 != 0)
+    contaminated = contamination_counts(
+        corpus, bench, n=4, text_col="kept_text").select("doc_id")
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    sampled = deterministic_sample(clean, 8000)
+    final = split_assign(sampled,
+                         {"train": 8000, "val": 1000, "test": 1000})
+    return (final.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("n_words"),
+                 F.sum("n_dropped").cast("long")
+                 .alias("n_chunks_dropped"),
+                 F.min("doc_id").cast("long").alias("first_id"))
+            .orderBy("split", "lang"))
+
+
 def doc_shard_manifest(spark, sf_dir):
     """Training-data export manifest (sinks/shards.py): the corpus
     sharded 16 ways by the deterministic md5 key (resume/retry places
@@ -1476,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of the parse twins, and re-verified this round in
     # CORRECTNESS_local_r04.json.
     return {
+        "doc_curation_pipeline": doc_curation_pipeline,
         "doc_shard_manifest": doc_shard_manifest,
         "doc_span_dedup": doc_span_dedup,
         "events_heavy_hitters": events_heavy_hitters,
@@ -2734,6 +2784,86 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(10000 * coalesce(n_boiler_occ, 0) // n_gram_occ
                        AS BIGINT) AS boiler_bp
             FROM tot LEFT JOIN b USING (doc_id)
+        """,
+        "doc_curation_pipeline": """
+            WITH words AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split(text, ' '), 1) - 1
+                           AS pos,
+                       unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ),
+            chunks AS (
+                SELECT doc_id, pos // 5 AS cidx,
+                       string_agg(w, ' ' ORDER BY pos) AS chunk
+                FROM words GROUP BY doc_id, pos // 5
+            ),
+            flagged AS (
+                SELECT doc_id, cidx, chunk,
+                       row_number() OVER (PARTITION BY chunk
+                                          ORDER BY doc_id, cidx) AS rn
+                FROM chunks
+            ),
+            span AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_dropped,
+                       coalesce(string_agg(chunk, ' ' ORDER BY cidx)
+                                FILTER (WHERE rn = 1), '') AS kept_text
+                FROM flagged GROUP BY doc_id
+            ),
+            cur AS (
+                SELECT d.doc_id, d.lang, s.n_dropped, s.kept_text,
+                       CASE WHEN s.kept_text = '' THEN 0
+                            ELSE len(string_split(s.kept_text, ' '))
+                            END AS n_words
+                FROM documents d JOIN span s USING (doc_id)
+            ),
+            q AS (
+                SELECT *, string_split(kept_text, ' ') AS kw
+                FROM cur WHERE n_words >= 20
+            ),
+            g AS (
+                SELECT DISTINCT doc_id, gram FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, len(kw) - 2),
+                               i -> array_to_string(kw[i:i+3], ' ')))
+                               AS gram
+                    FROM q
+                )
+            ),
+            bgrams AS (
+                SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+            ),
+            contam AS (
+                SELECT DISTINCT g.doc_id FROM g JOIN bgrams USING (gram)
+                WHERE g.doc_id % 97 <> 0
+            ),
+            sampled AS (
+                SELECT * FROM q
+                WHERE doc_id % 97 <> 0
+                  AND doc_id NOT IN (SELECT doc_id FROM contam)
+                  AND ('0x' || substring(md5('mix42' || doc_id), 1, 8))
+                      ::BIGINT % 10000 < 8000
+            ),
+            final AS (
+                SELECT *,
+                       CASE WHEN ('0x' || substring(
+                                md5('split42' || doc_id), 1, 8))
+                                ::BIGINT % 10000 < 8000 THEN 'train'
+                            WHEN ('0x' || substring(
+                                md5('split42' || doc_id), 1, 8))
+                                ::BIGINT % 10000 < 9000 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM sampled
+            )
+            SELECT split, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS n_words,
+                   CAST(sum(n_dropped) AS BIGINT) AS n_chunks_dropped,
+                   CAST(min(doc_id) AS BIGINT) AS first_id
+            FROM final GROUP BY split, lang ORDER BY split, lang
         """,
         "doc_shard_manifest": """
             WITH s AS (
