@@ -16,9 +16,10 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 76 — so twenty-six entries rotate out of the driver's
+the dict holds 79 — so twenty-nine entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions
+``doc_lm_score``, ``doc_token_windows``, ``events_retention_cohorts``,
 ``doc_curation_pipeline``,
 ``doc_shard_manifest``, ``doc_span_dedup``, ``events_heavy_hitters``,
 ``doc_bpe_pairs``,
@@ -1509,6 +1510,58 @@ def doc_vocab_coverage(spark, sf_dir):
     return vocab_oov_stats(_t(spark, sf_dir, "documents"), vocab_k=20)
 
 
+def doc_lm_score(spark, sf_dir):
+    """Bigram-LM document scoring (operators/lm.py) — the integer-
+    exact skeleton of the CCNet perplexity filter: per-doc sum of
+    floor(log2 corpus_count(bigram)) over the doc's bigram
+    occurrences, bits computed as length(bin(c))-1 so no float log
+    ever runs. Corpus counts are one partial+final agg; the count
+    join back onto the stream is split hot/cold (Zipf head broadcast,
+    skew-free tail shuffled); hot_df=30 because the synthetic corpus's
+    bigram counts are flat in [1, 48] — both paths must carry rows
+    (production hot_df is ~10^4 on a Zipf web corpus)."""
+    from console_log_parser_spark.operators.lm import lm_bits_per_doc
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (lm_bits_per_doc(docs, hot_df=30)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                    F.col("sum_bits").cast("long").alias("sum_bits"),
+                    F.col("avg_bits_x100").cast("long")
+                    .alias("avg_bits_x100"))
+            .orderBy("doc_id"))
+
+
+def doc_token_windows(spark, sf_dir):
+    """Stride-64 / length-128 sliding context windows per document
+    (operators/chunking.py) over n_chars as the pre-tokenized length
+    (same stand-in as doc_pack_sequences). Pure map-side transform +
+    posexplode — the plan has ZERO exchanges (pinned by
+    tests/test_chunking.py); short-doc negative numerators are clamped
+    identically under Spark DIV-truncation and DuckDB //-floor (see
+    module docstring for the proof)."""
+    from console_log_parser_spark.operators.chunking import (
+        sliding_windows)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (sliding_windows(docs, win_len=128, stride=64,
+                            n_col="n_chars")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "win_id", "win_start", "win_len")
+            .orderBy("doc_id", "win_id"))
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix (operators/cohorts.py): users bucketed
+    by first-seen day, distinct returning users per (cohort_day,
+    day_offset), retention percentage as integer DIV basis against the
+    cohort's day-0 size. One user-keyed agg whose partitioning the
+    join-back reuses; the matrix itself is days^2-bounded so the day-0
+    self-join broadcasts."""
+    from console_log_parser_spark.operators.cohorts import (
+        retention_matrix)
+    ev = _t(spark, sf_dir, "events")
+    return retention_matrix(ev).orderBy("cohort_day", "day_offset")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate (see module docstring, "recording-window
     # rotation policy"): the driver records the first 50 entries only.
@@ -1525,6 +1578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of the parse twins, and re-verified this round in
     # CORRECTNESS_local_r04.json.
     return {
+        "doc_lm_score": doc_lm_score,
+        "doc_token_windows": doc_token_windows,
+        "events_retention_cohorts": events_retention_cohorts,
         "doc_curation_pipeline": doc_curation_pipeline,
         "doc_shard_manifest": doc_shard_manifest,
         "doc_span_dedup": doc_span_dedup,
@@ -1663,6 +1719,76 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     from console_log_parser_spark import oracle_html, oracle_pipeline
     from console_log_parser_spark.operators import multimodal, similarity
     return {
+        # bigram-LM scoring: bits = length of the binary digit string
+        # minus 1 == floor(log2 c) with NO float log; sums cast to
+        # BIGINT (DuckDB sum() is HUGEINT); inner-join semantics drop
+        # <2-word docs in both engines
+        "doc_lm_score": """
+            WITH wl AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS w
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i+1])) AS bigram
+                FROM wl WHERE len(w) >= 2
+            ),
+            freqs AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1)
+            SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(length(format('{:b}', f.c)) - 1)
+                        AS BIGINT) AS sum_bits,
+                   CAST((sum(length(format('{:b}', f.c)) - 1) * 100)
+                        // count(*) AS BIGINT) AS avg_bits_x100
+            FROM bg b JOIN freqs f USING (bigram)
+            GROUP BY b.doc_id ORDER BY doc_id
+        """,
+        # stride-64/len-128 sliding windows; (n-128+63)//64 can be
+        # negative (floor vs trunc divide), greatest(0,) clamps both
+        # engines to the same value — see operators/chunking.py
+        "doc_token_windows": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(i AS BIGINT) AS win_id,
+                   CAST(i * 64 AS BIGINT) AS win_start,
+                   CAST(least(128, n_chars - i * 64) AS BIGINT)
+                       AS win_len
+            FROM (
+                SELECT doc_id, n_chars,
+                       unnest(range(0, 1 + greatest(0,
+                           (n_chars - 128 + 63) // 64))) AS i
+                FROM documents WHERE n_chars >= 1
+            )
+            ORDER BY doc_id, win_id
+        """,
+        # retention matrix: DATE-DATE is integer days in DuckDB ==
+        # Spark datediff; cohort_day emitted as ISO string so the
+        # compared schema is engine-neutral
+        "events_retention_cohorts": """
+            WITH days AS (
+                SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+                FROM events
+            ),
+            firsts AS (SELECT u, min(day) AS cohort_day
+                       FROM days GROUP BY u),
+            cells AS (
+                SELECT cohort_day, day - cohort_day AS day_offset,
+                       count(*) AS n_users
+                FROM days JOIN firsts USING (u)
+                GROUP BY 1, 2
+            ),
+            day0 AS (SELECT cohort_day, n_users AS cohort_size
+                     FROM cells WHERE day_offset = 0)
+            SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+                   CAST(c.day_offset AS BIGINT) AS day_offset,
+                   CAST(c.n_users AS BIGINT) AS n_users,
+                   CAST((c.n_users * 100) // d.cohort_size AS BIGINT)
+                       AS pct_x100
+            FROM cells c JOIN day0 d USING (cohort_day)
+            ORDER BY 1, 2
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,109 @@
+"""Bigram language-model document scoring — the integer-exact analog
+of the CCNet / Wikipedia-LM perplexity filter LLM pipelines use to
+rank crawl text by fluency (Wenzek et al., "CCNet: Extracting High
+Quality Monolingual Datasets from Web Crawl Data", LREC 2020).
+
+A document whose word bigrams are frequent corpus-wide reads like the
+corpus (low perplexity); one full of never-seen-again bigrams is
+boilerplate, mojibake or noise.  The classic score is
+``-1/n * sum log2 P(w_i | w_{i-1})``; floats, however, are banned from
+this repo's verified surfaces (IEEE reassociation makes float sums
+partition-order-dependent), so the score here is the monotone integer
+skeleton of the same quantity:
+
+    bits(bigram)   = floor(log2 corpus_count(bigram))
+                   = length(bin(count)) - 1        (pure integer)
+    sum_bits(doc)  = sum over the doc's bigram OCCURRENCES
+    avg_bits_x100  = 100 * sum_bits DIV n_bigrams
+
+Higher ``avg_bits_x100`` == the document's transitions are corpus-
+typical (the analog of LOW perplexity).  Because every step is integer
+arithmetic on exact counts, the DuckDB oracle reproduces it bit-for-
+bit — no log() boundary cases, no float sum order.
+
+Scale design (100 TB corpus, ~10^10-bigram vocabulary):
+
+* the bigram stream is a pure map-side explode (no shuffle);
+* corpus counts are one partial+final hash aggregation — counts
+  shuffle, never strings-per-doc, and partial aggregation absorbs the
+  Zipf head map-side;
+* the count join back onto the stream is the canonical SKEW join ("of
+  the" occurs in ~every partition), so it is split hot/cold the same
+  way ``operators/index.py`` bounds posting lists: the head of the
+  distribution (``count > hot_df``, at most ``total/hot_df`` rows —
+  bounded by construction) joins as a BROADCAST map-side, and only the
+  skew-free tail takes the shuffle equi-join (AQE skew-split as the
+  second line of defense);
+* the per-document aggregation is one exchange keyed by doc id.
+
+Reference parity: the reference has no LM scorer — this is part of the
+training-data extension surface (SURVEY.md §2 "beyond the reference"),
+like dedup/sampling/decontamination.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: default Zipf-head threshold for the broadcast side of the count
+#: join; at most total_bigrams/hot_df rows can exceed it, so the
+#: broadcast is bounded by construction (not by hope).
+DEFAULT_HOT_DF = 50
+
+
+def bigram_stream(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, bigram) pairs, one per bigram OCCURRENCE (repetition kept:
+    an LM counts every transition), words = single-space split with
+    empties dropped (same tokenization as ``operators/index.py`` and
+    its DuckDB twin).  Map-side only — the CASE guard matters because
+    Spark's ``sequence(1, 0)`` DESCENDS instead of returning empty
+    (same trap as ``decontam.word_ngrams``)."""
+    wl = F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")
+    return (docs
+            .select(id_col, wl.alias("_wl"))
+            .select(id_col, F.explode(F.expr(
+                "CASE WHEN size(_wl) >= 2 THEN "
+                "transform(sequence(1, size(_wl) - 1), "
+                "i -> concat(element_at(_wl, i), ' ', "
+                "element_at(_wl, i + 1))) "
+                "ELSE array() END")).alias("bigram")))
+
+
+def bigram_counts(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(bigram, c): corpus-wide occurrence counts — partial+final hash
+    aggregation, nothing skew-sized shuffles."""
+    return (bigram_stream(docs, id_col, text_col)
+            .groupBy("bigram").agg(F.count("*").alias("c")))
+
+
+def lm_bits_per_doc(docs: DataFrame, hot_df: int = DEFAULT_HOT_DF,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document integer LM score:
+    ``(id, n_bigrams, sum_bits, avg_bits_x100)``, one row per document
+    with >= 1 bigram (a <2-word doc has no transitions to score — same
+    inner-join semantics in the oracle).
+
+    ``bits = length(bin(c)) - 1`` is floor(log2 c) computed without
+    ever touching a float (``bin`` is the binary digit string), so the
+    DuckDB twin (``length(format('{:b}', c)) - 1``) agrees exactly."""
+    stream = bigram_stream(docs, id_col, text_col)
+    freqs = bigram_counts(docs, id_col, text_col)
+    hot = freqs.filter(F.col("c") > hot_df)
+    cold = freqs.filter(F.col("c") <= hot_df)
+    # Zipf head map-side (broadcast, bounded by total/hot_df); only the
+    # skew-free tail pays the shuffle equi-join.
+    scored_hot = stream.join(F.broadcast(hot), "bigram")
+    scored_cold = (stream
+                   .join(F.broadcast(hot.select("bigram")), "bigram",
+                         "left_anti")
+                   .join(cold, "bigram"))
+    scored = scored_hot.unionByName(scored_cold)
+    bits = F.expr("length(bin(c)) - 1")
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum(bits).alias("sum_bits"))
+            .withColumn("avg_bits_x100",
+                        F.expr("(sum_bits * 100) div n_bigrams")))
