@@ -16,9 +16,11 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 79 — so twenty-nine entries rotate out of the driver's
+the dict holds 83 — so thirty-three entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions
+``doc_bpe_encode``, ``doc_incremental_dedup``, ``doc_length_batches``,
+``doc_ccnet_buckets``,
 ``doc_lm_score``, ``doc_token_windows``, ``events_retention_cohorts``,
 ``doc_curation_pipeline``,
 ``doc_shard_manifest``, ``doc_span_dedup``, ``events_heavy_hitters``,
@@ -1562,6 +1564,89 @@ def events_retention_cohorts(spark, sf_dir):
     return retention_matrix(ev).orderBy("cohort_day", "day_offset")
 
 
+def doc_bpe_encode(spark, sf_dir):
+    """BPE learn->APPLY (operators/vocab.py bpe_encode_stats): the 6
+    merges learned by doc_bpe_learn are folded into the plan as
+    literal left-to-right replaces over each word's US-joined symbol
+    string, giving per-doc encoding telemetry (n_words, n_tokens,
+    n_saved). Map-side apply + ONE doc-keyed agg; the merge collect is
+    the bounded merge table itself. The oracle unrolls the same learn
+    chain and applies the merges as nested scalar-subquery replaces."""
+    from console_log_parser_spark.operators.vocab import (
+        bpe_encode_stats, bpe_learn)
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r["left"], r["right"])
+              for r in bpe_learn(docs, n_merges=6).collect()]
+    return (bpe_encode_stats(docs.select("doc_id", "text"), merges)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "n_words", "n_tokens", "n_saved")
+            .orderBy("doc_id"))
+
+
+def doc_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup audit (operators/dedup.py): the batch
+    doc_id % 5 == 0 lands against the corpus of the remaining docs;
+    every batch doc is classified kept / dup_in_batch /
+    dup_in_corpus. The corpus side is a distinct digest-only
+    projection (the persistent dedup index), both joins key on the
+    uniform md5 digest, and the batch-min agg reuses that
+    partitioning.
+
+    The synthetic corpus has NO organic exact duplicates at sf0.01,
+    so (doc_pii_redact-style) the query PLANTS them from doc_id
+    identically in both engines: ids 0/1 mod 20 share 'dupA:<k>'
+    across the batch/corpus boundary (-> dup_in_corpus), ids 5/15
+    mod 20 share 'dupB:<k>' inside the batch (-> one kept canonical +
+    one dup_in_batch); everything else keeps its organically unique
+    text. 50 kept / 25 dup_in_corpus / 25 dup_in_batch at sf0.01."""
+    from console_log_parser_spark.operators.dedup import (
+        incremental_dedup_audit)
+    derived = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(
+            "CASE WHEN doc_id % 20 <= 1 THEN "
+            "concat('dupA:', CAST(doc_id DIV 20 AS STRING)) "
+            "WHEN doc_id % 20 IN (5, 15) THEN "
+            "concat('dupB:', CAST(doc_id DIV 20 AS STRING)) "
+            "ELSE text END").alias("text"))
+    new = derived.filter(F.expr("doc_id % 5 = 0"))
+    existing = derived.filter(F.expr("doc_id % 5 <> 0"))
+    return (incremental_dedup_audit(new, existing)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "status")
+            .orderBy("doc_id"))
+
+
+def doc_length_batches(spark, sf_dir):
+    """Length-bucketed training batches (operators/packing.py
+    length_bucket_batches): bucket by n_chars DIV 64, rank within the
+    bucket via the distributed grouped_rank (range partition +
+    per-(partition, bucket) offsets — NO single-task-per-bucket
+    window), cut into 32-doc batches, report per-batch padding waste.
+    All-integer; the oracle's row_number() OVER (PARTITION BY bucket)
+    is the semantics grouped_rank reproduces without the skew."""
+    from console_log_parser_spark.operators.packing import (
+        length_bucket_batches)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (length_bucket_batches(docs, bucket_width=64, batch_size=32,
+                                  n_col="n_chars")
+            .select("bucket", "batch_id", "n_docs", "min_len",
+                    "max_len", "sum_len", "pad_waste")
+            .orderBy("bucket", "batch_id"))
+
+
+def doc_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality tertiles (operators/lm.py
+    quality_buckets over lm_bits_per_doc): exact nearest-rank p33/p66
+    cutoffs of the integer LM score from the bounded-domain histogram
+    (no corpus sort, no approx-percentile epsilon), broadcast back as
+    a 1-row dim; per-bucket doc counts and score ranges."""
+    from console_log_parser_spark.operators.lm import (
+        lm_bits_per_doc, quality_buckets)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (quality_buckets(lm_bits_per_doc(docs, hot_df=30))
+            .orderBy("bucket"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate (see module docstring, "recording-window
     # rotation policy"): the driver records the first 50 entries only.
@@ -1578,6 +1663,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of the parse twins, and re-verified this round in
     # CORRECTNESS_local_r04.json.
     return {
+        "doc_bpe_encode": doc_bpe_encode,
+        "doc_incremental_dedup": doc_incremental_dedup,
+        "doc_length_batches": doc_length_batches,
+        "doc_ccnet_buckets": doc_ccnet_buckets,
         "doc_lm_score": doc_lm_score,
         "doc_token_windows": doc_token_windows,
         "events_retention_cohorts": events_retention_cohorts,
@@ -1665,13 +1754,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _bpe_learn_oracle(n_merges: int) -> str:
-    """DuckDB twin of operators/vocab.py::bpe_learn — the same
-    greedy-merge algorithm unrolled as an ``n_merges``-level CTE chain
-    over the US-joined symbol string (replace() is left-to-right
-    non-overlapping in both engines, which IS the BPE merge rule), so
-    the iterative operator keeps the full rows+schema+hash gate."""
-    ctes = ["""w0 AS (
+def _bpe_learn_ctes(n_merges: int) -> list[str]:
+    """The shared learn chain: CTEs ``w0..w{n-1}`` (evolving symbol
+    frames) and ``t1..t{n}`` (the per-step winning merge), used by
+    both the learn and the encode oracles. Every CTE is MATERIALIZED:
+    DuckDB inlines plain CTEs per reference, and the chain is
+    referenced many times (2 scalar subqueries per level in the learn
+    finals, 2 per nested replace in the encode) — inlining re-derives
+    the whole prefix chain each time (measured: encode 0.2 s
+    materialized vs minutes inlined)."""
+    ctes = ["""w0 AS MATERIALIZED (
             SELECT array_to_string(list_transform(
                        range(1, length(w) + 1), i -> w[i:i]),
                        chr(31)) AS s,
@@ -1682,29 +1774,71 @@ def _bpe_learn_oracle(n_merges: int) -> str:
         )"""]
     for k in range(1, n_merges + 1):
         ctes.append(
-            "p{k} AS (SELECT wc, unnest(list_transform(range(1, len(p)),"
+            "p{k} AS MATERIALIZED (SELECT wc,"
+            " unnest(list_transform(range(1, len(p)),"
             " i -> {{'l': p[i], 'r': p[i + 1]}})) AS u"
             " FROM (SELECT wc, string_split(s, chr(31)) AS p FROM w{j})"
             " WHERE len(p) >= 2)".format(k=k, j=k - 1))
         ctes.append(
-            "c{k} AS (SELECT u['l'] AS l, u['r'] AS r,"
+            "c{k} AS MATERIALIZED (SELECT u['l'] AS l, u['r'] AS r,"
             " CAST(sum(wc) AS BIGINT) AS cnt FROM p{k}"
             " GROUP BY 1, 2)".format(k=k))
         ctes.append(
-            "t{k} AS (SELECT l, r, cnt FROM c{k}"
+            "t{k} AS MATERIALIZED (SELECT l, r, cnt FROM c{k}"
             " ORDER BY cnt DESC, l, r LIMIT 1)".format(k=k))
         if k < n_merges:
             ctes.append(
-                "w{k} AS (SELECT replace(s,"
+                "w{k} AS MATERIALIZED (SELECT replace(s,"
                 " (SELECT l || chr(31) || r FROM t{k}),"
                 " (SELECT l || r FROM t{k})) AS s, wc"
                 " FROM w{j})".format(k=k, j=k - 1))
+    return ctes
+
+
+def _bpe_learn_oracle(n_merges: int) -> str:
+    """DuckDB twin of operators/vocab.py::bpe_learn — the same
+    greedy-merge algorithm unrolled as an ``n_merges``-level CTE chain
+    over the US-joined symbol string (replace() is left-to-right
+    non-overlapping in both engines, which IS the BPE merge rule), so
+    the iterative operator keeps the full rows+schema+hash gate."""
+    ctes = _bpe_learn_ctes(n_merges)
     finals = [
         'SELECT CAST({k} AS BIGINT) AS step, l AS "left", r AS "right",'
         " l || r AS merged, cnt FROM t{k}".format(k=k)
         for k in range(1, n_merges + 1)]
     return ("WITH " + ",\n        ".join(ctes) + "\n        "
             + "\n        UNION ALL ".join(finals))
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """DuckDB twin of doc_bpe_encode: re-learn the merge table via the
+    shared CTE chain, then apply the ``n_merges`` merges to every
+    document word as NESTED scalar-subquery replaces (learning order =
+    application order, left-to-right non-overlapping in both engines)
+    and aggregate the per-doc token telemetry."""
+    ctes = _bpe_learn_ctes(n_merges)
+    enc = ("array_to_string(list_transform(range(1, length(w) + 1), "
+           "i -> w[i:i]), chr(31))")
+    for k in range(1, n_merges + 1):
+        enc = ("replace({e}, (SELECT l || chr(31) || r FROM t{k}), "
+               "(SELECT l || r FROM t{k}))".format(e=enc, k=k))
+    return ("WITH " + ",\n        ".join(ctes) + """,
+        docw AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents) WHERE w <> ''
+        ),
+        enc AS (
+            SELECT doc_id, length(w) AS n_chars,
+                   len(string_split(""" + enc + """, chr(31)))
+                       AS n_tok
+            FROM docw
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) - sum(n_tok) AS BIGINT) AS n_saved
+        FROM enc GROUP BY 1 ORDER BY doc_id""")
 
 
 def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
@@ -1719,6 +1853,121 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     from console_log_parser_spark import oracle_html, oracle_pipeline
     from console_log_parser_spark.operators import multimodal, similarity
     return {
+        # learn the 6 merges via the shared CTE chain, then apply them
+        # as nested scalar-subquery replaces per document word
+        "doc_bpe_encode": _bpe_encode_oracle(6),
+        # incremental ingest: batch = doc_id % 5 = 0 against the
+        # corpus of the rest; corpus-match outranks batch
+        # canonicality; duplicates PLANTED from doc_id (no organic
+        # exact dups in the corpus — see the query docstring)
+        "doc_incremental_dedup": """
+            WITH derived AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 20 <= 1
+                            THEN concat('dupA:',
+                                 CAST(doc_id // 20 AS VARCHAR))
+                            WHEN doc_id % 20 IN (5, 15)
+                            THEN concat('dupB:',
+                                 CAST(doc_id // 20 AS VARCHAR))
+                            ELSE text END AS text
+                FROM documents
+            ),
+            newb AS (
+                SELECT doc_id, md5(text) AS dg
+                FROM derived WHERE doc_id % 5 = 0
+            ),
+            corp AS (
+                SELECT DISTINCT md5(text) AS dg
+                FROM derived WHERE doc_id % 5 <> 0
+            ),
+            bmin AS (SELECT dg, min(doc_id) AS first_id
+                     FROM newb GROUP BY 1)
+            SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN c.dg IS NOT NULL THEN 'dup_in_corpus'
+                        WHEN n.doc_id <> b.first_id THEN 'dup_in_batch'
+                        ELSE 'kept' END AS status
+            FROM newb n
+            LEFT JOIN corp c USING (dg)
+            JOIN bmin b USING (dg)
+            ORDER BY doc_id
+        """,
+        # length-bucketed batches: md5 of the decimal doc_id renders
+        # identically in both engines; hex keys compare bytewise under
+        # binary collation == Spark string order
+        "doc_length_batches": """
+            WITH k AS (
+                SELECT doc_id, n_chars,
+                       md5(CAST(doc_id AS VARCHAR)) AS okey,
+                       n_chars // 64 AS bucket
+                FROM documents
+            ),
+            r AS (
+                SELECT bucket, n_chars,
+                       row_number() OVER (PARTITION BY bucket
+                                          ORDER BY okey, doc_id) AS rn
+                FROM k
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(n_chars) AS BIGINT) AS min_len,
+                   CAST(max(n_chars) AS BIGINT) AS max_len,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_len,
+                   CAST(count(*) * max(n_chars) - sum(n_chars)
+                        AS BIGINT) AS pad_waste
+            FROM r GROUP BY 1, 2 ORDER BY bucket, batch_id
+        """,
+        # CCNet tertiles: the lm score chain + the bounded-domain
+        # nearest-rank percentile SQL (doc_length_stats pattern) as
+        # the p33/p66 cutoffs; ties sit with the lower bucket
+        "doc_ccnet_buckets": """
+            WITH wl AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS w
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i+1])) AS bigram
+                FROM wl WHERE len(w) >= 2
+            ),
+            freqs AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1),
+            scored AS (
+                SELECT b.doc_id,
+                       CAST(sum(length(format('{:b}', f.c)) - 1)
+                            AS BIGINT) AS sum_bits,
+                       CAST((sum(length(format('{:b}', f.c)) - 1)
+                             * 100) // count(*) AS BIGINT) AS score
+                FROM bg b JOIN freqs f USING (bigram)
+                GROUP BY b.doc_id
+            ),
+            hist AS (SELECT score AS v, count(*) AS cnt
+                     FROM scored GROUP BY 1),
+            cum AS (
+                SELECT v, cnt,
+                       sum(cnt) OVER (ORDER BY v) AS cum,
+                       sum(cnt) OVER () AS n
+                FROM hist
+            ),
+            cuts AS (
+                SELECT min(CASE WHEN cum >= (33 * n + 99) // 100
+                           THEN v END) AS lo,
+                       min(CASE WHEN cum >= (66 * n + 99) // 100
+                           THEN v END) AS hi
+                FROM cum
+            )
+            SELECT CASE WHEN s.score <= c.lo THEN 'tail'
+                        WHEN s.score <= c.hi THEN 'middle'
+                        ELSE 'head' END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(s.score) AS BIGINT) AS min_score,
+                   CAST(max(s.score) AS BIGINT) AS max_score,
+                   CAST(sum(s.sum_bits) AS BIGINT) AS sum_bits
+            FROM scored s CROSS JOIN cuts c
+            GROUP BY 1 ORDER BY bucket
+        """,
         # bigram-LM scoring: bits = length of the binary digit string
         # minus 1 == floor(log2 c) with NO float log; sums cast to
         # BIGINT (DuckDB sum() is HUGEINT); inner-join semantics drop

@@ -374,3 +374,47 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
            .select("doc_a", "doc_b", "hamming")
            .distinct())
     return _materialize_and_release(out, sh)
+
+
+def incremental_dedup_audit(new_docs: DataFrame, existing: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Dedup a NEW ingest batch against an EXISTING corpus — the
+    production incremental-ingest shape (a crawl snapshot lands
+    against a deduplicated corpus; nothing re-deduplicates the
+    corpus itself). Returns a per-new-doc audit ``(id, status)``:
+
+    * ``dup_in_corpus`` — exact text match already in the corpus;
+    * ``dup_in_batch``  — no corpus match, but a smaller-id doc in
+      the SAME batch has identical text (the batch's canonical
+      survivor keeps ``kept``);
+    * ``kept``          — the batch's surviving copy.
+
+    Corpus-match takes precedence over batch-canonicality: if the
+    text exists in the corpus, EVERY batch copy is ``dup_in_corpus``
+    (none of them should land).
+
+    Scale design: the corpus side is reduced to a DISTINCT digest
+    projection (16 bytes/doc — the persistent dedup index a real
+    ingest pipeline maintains; at 10^12 docs that frame is ~16 TB
+    spread over the cluster, joined not broadcast). Both joins key on
+    the md5 digest — uniform, skew-free — and the batch-min
+    aggregation reuses the same digest partitioning, so the new batch
+    is exchanged once. Spark broadcasts the smaller side per AQE
+    stats, which at production scale is the BATCH, never the corpus.
+    """
+    dg = F.md5(F.col(text_col))
+    batch = new_docs.select(F.col(id_col).alias("_id"),
+                            dg.alias("_dg"))
+    corpus_dg = (existing.select(dg.alias("_dg")).distinct()
+                 .withColumn("_in_corpus", F.lit(1)))
+    batch_min = batch.groupBy("_dg").agg(F.min("_id").alias("_first"))
+    return (batch
+            .join(corpus_dg, "_dg", "left")
+            .join(batch_min, "_dg")
+            .select(F.col("_id").alias(id_col),
+                    F.when(F.col("_in_corpus").isNotNull(),
+                           F.lit("dup_in_corpus"))
+                    .when(F.col("_id") != F.col("_first"),
+                          F.lit("dup_in_batch"))
+                    .otherwise(F.lit("kept")).alias("status")))

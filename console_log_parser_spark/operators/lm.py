@@ -107,3 +107,52 @@ def lm_bits_per_doc(docs: DataFrame, hot_df: int = DEFAULT_HOT_DF,
                  F.sum(bits).alias("sum_bits"))
             .withColumn("avg_bits_x100",
                         F.expr("(sum_bits * 100) div n_bigrams")))
+
+
+def quality_buckets(scored: DataFrame,
+                    score_col: str = "avg_bits_x100",
+                    cuts: tuple[int, int] = (33, 66)) -> DataFrame:
+    """CCNet's final step — split the scored corpus into head /
+    middle / tail quality tertiles by exact nearest-rank percentile
+    cutoffs of ``score_col`` (CCNet §4.4: the head is the most
+    corpus-typical third). Returns one row per bucket:
+    ``(bucket, n_docs, min_score, max_score, sum_bits)``.
+
+    The cutoffs come from the bounded-domain histogram (the
+    ``operators/stats.py`` machinery): one partial+final agg over the
+    score domain, NO corpus sort or approx-percentile epsilon. The
+    cumulative counts over that tiny frame use the house broadcast
+    TRIANGULAR JOIN, not a window — the stratum here is the whole
+    corpus, and Catalyst folds a constant partition column back to an
+    unpartitioned window (the repo-banned single-task shape); the
+    O(D^2) join over the D-valued score domain is trivial at any
+    corpus size. Boundary rule: score <= p_lo -> tail, <= p_hi ->
+    middle, else head; ties sit with the lower bucket in both engines
+    because the cutoff IS a score value."""
+    lo, hi = cuts
+    hist = (scored.groupBy(F.col(score_col).cast("long").alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    x, y = hist.alias("x"), hist.alias("y")
+    cum = (x.join(F.broadcast(y), F.col("y.v") <= F.col("x.v"))
+           .groupBy(F.col("x.v").alias("v"))
+           .agg(F.sum("y.cnt").alias("cum")))
+    total = hist.agg(F.sum("cnt").alias("n"))
+    cutrow = (cum.crossJoin(F.broadcast(total))
+              .agg(F.min(F.when(
+                  F.expr(f"cum >= ({lo} * n + 99) div 100"),
+                  F.col("v"))).alias("_lo"),
+                  F.min(F.when(
+                      F.expr(f"cum >= ({hi} * n + 99) div 100"),
+                      F.col("v"))).alias("_hi")))
+    return (scored.crossJoin(F.broadcast(cutrow))
+            .withColumn("bucket",
+                        F.when(F.col(score_col) <= F.col("_lo"),
+                               F.lit("tail"))
+                        .when(F.col(score_col) <= F.col("_hi"),
+                              F.lit("middle"))
+                        .otherwise(F.lit("head")))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min(score_col).cast("long").alias("min_score"),
+                 F.max(score_col).cast("long").alias("max_score"),
+                 F.sum("sum_bits").cast("long").alias("sum_bits")))

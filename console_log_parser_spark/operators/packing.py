@@ -83,3 +83,84 @@ def pack_sequences(docs: DataFrame, seq_len: int,
         "CASE WHEN tok_end = 0 THEN CAST(-1 AS BIGINT) "
         f"ELSE CAST((tok_end - 1) DIV {seq_len} AS BIGINT) END "
         "AS last_seq")
+
+
+def grouped_rank(df: DataFrame, group_col: str, order_cols: list[str],
+                 out_col: str,
+                 num_partitions: int | None = None) -> DataFrame:
+    """PER-GROUP 1-based rank under the order of ``order_cols``
+    (a unique key tuple within the group), with neither an
+    unpartitioned window nor a single task per group — the
+    group-local generalization of :func:`global_prefix_sum`:
+
+    1. range-partition by ``(group, *order_cols)`` — a group larger
+       than one partition spans CONTIGUOUS partitions, so no task
+       ever holds more than one partition's slice of it (group skew
+       cannot concentrate);
+    2. in-partition rank windowed by ``(physical partition, group)``
+       — parallel, bounded by partition size;
+    3. per-(partition, group) counts — at most P + |groups| rows
+       under range partitioning (each partition holds a contiguous
+       group range) — get their exclusive prefix within the group via
+       the broadcast triangular join, and broadcast back.
+    """
+    spark = df.sparkSession
+    n = (int(num_partitions) if num_partitions is not None else
+         int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    ranged = (df.repartitionByRange(n, group_col, *order_cols)
+              .withColumn("_pid", F.spark_partition_id()))
+    in_part = Window.partitionBy("_pid", group_col).orderBy(*order_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(in_part))
+    totals = ranged.groupBy("_pid", group_col).agg(
+        F.count(F.lit(1)).alias("_pc"))
+    x, y = totals.alias("x"), totals.alias("y")
+    offs = (x.join(F.broadcast(y),
+                   (F.col(f"y.{group_col}") == F.col(f"x.{group_col}"))
+                   & (F.col("y._pid") < F.col("x._pid")))
+            .groupBy(F.col("x._pid").alias("_pid"),
+                     F.col(f"x.{group_col}").alias(group_col))
+            .agg(F.sum("y._pc").alias("_off")))
+    return (local.join(F.broadcast(offs), ["_pid", group_col], "left")
+            .withColumn(out_col,
+                        (F.col("_lrn")
+                         + F.coalesce(F.col("_off"), F.lit(0)))
+                        .cast("long"))
+            .drop("_pid", "_lrn", "_off"))
+
+
+def length_bucket_batches(docs: DataFrame, bucket_width: int = 64,
+                          batch_size: int = 32, id_col: str = "doc_id",
+                          n_col: str = "n_tok",
+                          num_partitions: int | None = None) -> DataFrame:
+    """Length-bucketed training batches with padding-waste telemetry —
+    the dynamic-batching layout that pads each batch only to ITS OWN
+    longest member instead of the corpus maximum. Documents are
+    bucketed by ``n_col DIV bucket_width``, ordered within the bucket
+    by the content-independent md5 key (deterministic under
+    retry/resume, same contract as packing), cut into
+    ``batch_size``-doc batches, and summarized per batch:
+
+        (bucket, batch_id, n_docs, min_len, max_len, sum_len,
+         pad_waste = n_docs * max_len - sum_len)
+
+    Only the final (short) batch of a bucket may have
+    n_docs < batch_size. All-integer, so the DuckDB oracle agrees
+    exactly; the per-bucket rank is :func:`grouped_rank` — no
+    single-task-per-bucket window at any scale."""
+    keyed = (docs
+             .withColumn("_okey", F.md5(F.col(id_col).cast("string")))
+             .withColumn("bucket", F.expr(
+                 f"CAST({n_col} DIV {bucket_width} AS BIGINT)")))
+    ranked = grouped_rank(keyed, "bucket", ["_okey", id_col], "_rn",
+                          num_partitions)
+    return (ranked
+            .withColumn("batch_id", F.expr(
+                f"CAST((_rn - 1) DIV {batch_size} AS BIGINT)"))
+            .groupBy("bucket", "batch_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min(n_col).cast("long").alias("min_len"),
+                 F.max(n_col).cast("long").alias("max_len"),
+                 F.sum(n_col).cast("long").alias("sum_len"))
+            .withColumn("pad_waste",
+                        (F.col("n_docs") * F.col("max_len")
+                         - F.col("sum_len")).cast("long")))

@@ -142,6 +142,50 @@ def bpe_learn(docs: DataFrame, n_merges: int = 6,
     return spark.createDataFrame(merges, schema)
 
 
+def bpe_encode_stats(docs: DataFrame,
+                     merges: list[tuple[str, str]],
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Apply a learned BPE merge table to every document — the
+    learn->APPLY half of the tokenizer loop — and report the per-doc
+    encoding telemetry ``(id, n_words, n_tokens, n_saved)`` where
+    ``n_tokens`` is the symbol count after all merges and ``n_saved``
+    the character-symbols merged away (= sum(char_length) - n_tokens).
+
+    ``merges`` is the (left, right) list IN LEARNING ORDER — the
+    caller collects it from :func:`bpe_learn` (bounded: it is the
+    merge table itself, n_merges rows, same bounded-collect contract
+    as the IVF codebook). Each merge folds into the plan as a literal
+    ``replace(s, L||US||R, L||R)`` — left-to-right non-overlapping,
+    the greedy BPE application rule, all JVM-side string intrinsics.
+
+    Plan shape: map-side explode + literal replace chain, then ONE
+    doc-keyed partial+final aggregation — no join, no vocabulary
+    shuffle. Production merge tables (30k-50k) would blow up a
+    literal chain; there the same apply step becomes an Arrow-batched
+    pandas UDF holding the merge trie (SCALE.md §5) — the plan shape
+    (map + one agg) is unchanged, which is what this operator pins."""
+    sym = F.array_join(F.expr(
+        "transform(sequence(1, char_length(w)), "
+        "i -> substring(w, i, 1))"), US)
+    for left, right in merges:
+        sym = F.replace(sym, F.lit(left + US + right),
+                        F.lit(left + right))
+    per_word = (docs
+                .select(id_col,
+                        F.explode(F.split(F.col(text_col), " "))
+                        .alias("w"))
+                .filter(F.col("w") != "")
+                .select(id_col,
+                        F.char_length("w").alias("n_chars"),
+                        F.size(F.split(sym, US)).alias("n_tok")))
+    return (per_word.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum("n_tok").cast("long").alias("n_tokens"),
+                 (F.sum("n_chars") - F.sum("n_tok")).cast("long")
+                 .alias("n_saved")))
+
+
 def vocab_oov_stats(docs: DataFrame, vocab_k: int = 20,
                     text_col: str = "text",
                     group_col: str = "source") -> DataFrame:

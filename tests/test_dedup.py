@@ -185,3 +185,40 @@ def test_ngram_prefix_matches_old_selfjoin_at_sf(spark):
                               + F.col("size_b") - F.col("common"))
                       ).collect()}
     assert got == want
+
+
+def test_incremental_dedup_audit_statuses_and_precedence(spark):
+    from console_log_parser_spark.operators.dedup import (
+        incremental_dedup_audit)
+    corpus = spark.createDataFrame(
+        [(10, "AAA"), (11, "BBB")], "doc_id long, text string")
+    # ids 1 and 5 both match corpus text AAA: corpus-match outranks
+    # batch canonicality, so BOTH are dup_in_corpus (never "kept").
+    batch = spark.createDataFrame(
+        [(1, "AAA"), (2, "CCC"), (3, "CCC"), (5, "AAA")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in
+           incremental_dedup_audit(batch, corpus).collect()}
+    assert got == {1: "dup_in_corpus", 5: "dup_in_corpus",
+                   2: "kept", 3: "dup_in_batch"}
+
+
+def test_incremental_dedup_empty_corpus_is_batch_dedup(spark):
+    from console_log_parser_spark.operators.dedup import (
+        incremental_dedup_audit)
+    corpus = spark.createDataFrame([], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(7, "X"), (9, "X")], "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in
+           incremental_dedup_audit(batch, corpus).collect()}
+    assert got == {7: "kept", 9: "dup_in_batch"}
+
+
+def test_incremental_dedup_no_python_udf(spark):
+    from console_log_parser_spark.operators.dedup import (
+        incremental_dedup_audit)
+    corpus = spark.createDataFrame([(1, "A")], "doc_id long, text string")
+    batch = spark.createDataFrame([(2, "B")], "doc_id long, text string")
+    plan = (incremental_dedup_audit(batch, corpus)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan

@@ -69,3 +69,54 @@ def test_plan_broadcasts_hot_side_and_stays_jvm(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # the Zipf-head path
+
+
+def _brute_buckets(cuts=(33, 66)):
+    scores = {d: s for d, (_, _, s) in _brute().items()}
+    bits = {d: b for d, (_, b, _) in _brute().items()}
+    vals = sorted(scores.values())
+    n = len(vals)
+
+    def pct(p):
+        rank = (p * n + 99) // 100
+        cum = 0
+        for v in sorted(set(vals)):
+            cum += vals.count(v)
+            if cum >= rank:
+                return v
+    lo, hi = pct(cuts[0]), pct(cuts[1])
+    out = {}
+    for d, s in scores.items():
+        b = "tail" if s <= lo else ("middle" if s <= hi else "head")
+        n_docs, mn, mx, sb = out.get(b, (0, 10 ** 9, -1, 0))
+        out[b] = (n_docs + 1, min(mn, s), max(mx, s), sb + bits[d])
+    return out
+
+
+def test_quality_buckets_match_brute_force(spark):
+    from console_log_parser_spark.operators.lm import quality_buckets
+    got = {r["bucket"]: (r["n_docs"], r["min_score"], r["max_score"],
+                         r["sum_bits"])
+           for r in quality_buckets(
+               lm_bits_per_doc(_frame(spark), hot_df=2)).collect()}
+    assert got == _brute_buckets()
+
+
+def test_quality_buckets_all_equal_scores_single_bucket(spark):
+    # every doc scores identically -> p33 == p66 == the value, and
+    # score <= p33 puts the whole corpus in "tail" (ties sit low)
+    from console_log_parser_spark.operators.lm import quality_buckets
+    df = spark.createDataFrame([(str(i), "a b") for i in range(6)],
+                               "doc_id string, text string")
+    rows = quality_buckets(lm_bits_per_doc(df, hot_df=0)).collect()
+    assert [r["bucket"] for r in rows] == ["tail"]
+    assert rows[0]["n_docs"] == 6
+
+
+def test_quality_buckets_no_unpartitioned_window(spark):
+    from console_log_parser_spark.operators.lm import quality_buckets
+    from tests.test_windows import _has_unpartitioned_window
+    out = quality_buckets(lm_bits_per_doc(_frame(spark), hot_df=2))
+    assert not _has_unpartitioned_window(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

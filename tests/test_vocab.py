@@ -82,3 +82,56 @@ def test_vocab_join_is_broadcast_no_python_udf(spark):
     pairs_plan = (bpe_pair_counts(df, top_k=5)
                   ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in pairs_plan
+
+
+def _brute_encode(texts, merges):
+    """String-replace BPE application — the SAME left-to-right
+    non-overlapping replace semantics as the engine/oracle (a merge
+    whose left side is a suffix of a longer symbol CAN fire across
+    the boundary; both engines share that rule, so the brute must
+    too)."""
+    out = {}
+    for did, text in texts:
+        words = [w for w in text.split(" ") if w]
+        n_tok = n_chars = 0
+        for w in words:
+            s = US.join(w)
+            for left, right in merges:
+                s = s.replace(left + US + right, left + right)
+            n_tok += len(s.split(US))
+            n_chars += len(w)
+        if words:
+            out[did] = (len(words), n_tok, n_chars - n_tok)
+    return out
+
+
+def test_bpe_encode_matches_string_replace_brute(spark):
+    from console_log_parser_spark.operators.vocab import (
+        bpe_encode_stats, bpe_learn)
+    texts = [("1", "banana bandana"), ("2", "ban ban an"),
+             ("3", "x"), ("4", "")]
+    df = spark.createDataFrame(texts, "doc_id string, text string")
+    merges = [(r["left"], r["right"])
+              for r in bpe_learn(df, n_merges=4).collect()]
+    assert len(merges) == 4
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_saved"])
+           for r in bpe_encode_stats(df, merges).collect()}
+    assert got == _brute_encode(texts, merges)
+
+
+def test_bpe_encode_no_merges_is_char_count(spark):
+    from console_log_parser_spark.operators.vocab import bpe_encode_stats
+    df = spark.createDataFrame([("1", "ab cde")],
+                               "doc_id string, text string")
+    r = bpe_encode_stats(df, []).collect()[0]
+    assert (r["n_words"], r["n_tokens"], r["n_saved"]) == (2, 5, 0)
+
+
+def test_bpe_encode_plan_is_map_plus_one_agg(spark):
+    from console_log_parser_spark.operators.vocab import bpe_encode_stats
+    df = spark.createDataFrame([("1", "ab ab")],
+                               "doc_id string, text string")
+    plan = (bpe_encode_stats(df, [("a", "b")])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan  # literal merges fold into the plan
