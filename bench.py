@@ -218,6 +218,17 @@ def main():
         "events_asof_interleave", "doc_dedup_exact", "doc_token_count",
         "doc_minhash_dedup", "doc_simhash_pairs", "ann_bruteforce_top10",
     ]
+    if os.environ.get("SPARK_GRAFT_PIPELINE_ONLY"):
+        # Scaling-harness mode: the 8->32 efficiency claim consumes
+        # ONLY pipeline.seq_per_sec, but the ad-hoc queries above add
+        # ~30-40% to a level's wall-clock for zero scaling signal.
+        # Hypervisor windows on this box open and collapse on a
+        # minutes timescale (three round-4 runs auto-invalidated
+        # mid-run), so every signal-free minute inside a gated window
+        # directly raises the chance the window dies before the claim-
+        # bearing levels finish. The headline-total protocol is
+        # unchanged; ad-hoc timings simply aren't taken in this mode.
+        bench_queries = []
     qs = em.queries()
     for name in bench_queries:
         # Ad-hoc query protocol (deliberately NOT the pipeline's

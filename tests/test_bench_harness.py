@@ -93,6 +93,7 @@ def test_main_reporting_path_end_to_end(tmp_path, monkeypatch, capsys):
     monkeypatch.setenv("SPARK_GRAFT_SCALING_RUNS", "1")
     monkeypatch.setenv("SPARK_GRAFT_MIN_CEILING", "0.85")
     monkeypatch.setenv("SPARK_GRAFT_MIN_MEMBW_GBS", "110")
+    monkeypatch.setenv("SPARK_GRAFT_POST_SETTLE_SECS", "0")
     bs.main()
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["value"] == 0.85  # 3400/1000/4
@@ -100,6 +101,10 @@ def test_main_reporting_path_end_to_end(tmp_path, monkeypatch, capsys):
     assert out["pass"] is True
     assert out["membw_pre_gbs"] == 150.0
     assert "invalid" not in out
+    # gate-instrument provenance: med3 samples recorded pre and post
+    assert out["gate_instrument"].startswith("spin_med3")
+    assert out["hw_ceiling_samples_pre"] == [0.9, 0.9, 0.9]
+    assert out["hw_ceiling_samples_post"] == [0.9, 0.9, 0.9]
     hist = [json.loads(ln) for ln in
             (repo / "BENCH" / "scaling_history.jsonl").read_text()
             .splitlines()]
@@ -137,7 +142,47 @@ def test_main_post_run_membw_invalidation(tmp_path, monkeypatch, capsys):
     monkeypatch.setenv("SPARK_GRAFT_SCALING_RUNS", "1")
     monkeypatch.setenv("SPARK_GRAFT_MIN_CEILING", "0.85")
     monkeypatch.setenv("SPARK_GRAFT_MIN_MEMBW_GBS", "110")
+    monkeypatch.setenv("SPARK_GRAFT_POST_SETTLE_SECS", "0")
     bs.main()
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["invalid"] is True
     assert "memory bandwidth" in out["invalid_reason"]
+
+
+def test_med3_takes_median_not_best(monkeypatch):
+    """A ratio instrument must use the MEDIAN: a transient stomp during
+    the 8-proc phase inflates single samples, so best-of would pick the
+    contaminated one."""
+    import tools.bench_scaling as bs
+
+    effs = iter([0.74, 0.985, 0.829])
+    monkeypatch.setattr(bs, "hardware_ceiling",
+                        lambda *a, **k: {"efficiency": next(effs)})
+    hw = bs.hardware_ceiling_med3()
+    assert hw["efficiency"] == 0.829
+    assert hw["samples"] == [0.74, 0.985, 0.829]
+
+
+def test_pipeline_only_env_reaches_bench(monkeypatch):
+    """run_bench must ship SPARK_GRAFT_PIPELINE_ONLY to bench.py so a
+    scaling invocation never burns core-minutes on the ad-hoc headline
+    queries (signal-free load feeds the fair-share wake)."""
+    import tools.bench_scaling as bs
+
+    captured = {}
+
+    class FakeProc:
+        pid = os.getpid()
+        returncode = 0
+
+        def communicate(self, timeout=None):
+            return '{"pipeline": {"seq_per_sec": 1.0}}', ""
+
+    def fake_popen(cmd, env=None, **kw):
+        captured["env"] = env
+        return FakeProc()
+
+    monkeypatch.setattr(bs.subprocess, "Popen", fake_popen)
+    r = bs.run_bench(8, "/tmp/x")
+    assert captured["env"]["SPARK_GRAFT_PIPELINE_ONLY"] == "1"
+    assert "foreign_cores" in r

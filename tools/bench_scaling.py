@@ -72,6 +72,29 @@ def hardware_ceiling(levels=(8, 32), secs: float = 5.0) -> dict:
             "efficiency": (rates[hi] / rates[lo]) / (hi / lo)}
 
 
+def hardware_ceiling_med3(secs: float = 4.0) -> dict:
+    """Median of three independent spin-ceiling measurements — gate
+    decisions use this, for the same reason gate decisions on the
+    bandwidth axis use ``membw_best2``: a single sample must not veto
+    (or green-light) a window. Idle-state calibration
+    (``BENCH/probe_calibration_r4.jsonl``, round 4) measured
+    back-to-back single samples swinging far beyond the 0.85-gate
+    margin on an idle box, and the watcher log shows consecutive
+    150s-apart polls of 0.74 / 0.985 / 0.829 — sample noise, not
+    window changes. A median (not best-of) is required on THIS axis
+    because the spin metric is a ratio: a transient stomp during the
+    8-proc phase *inflates* the reading, so best-of would
+    systematically pick contaminated samples. Sustained degradation —
+    the thing the gate exists for — depresses all three samples and
+    still trips the gate. All samples are returned for the ledger."""
+    samples = [hardware_ceiling(secs=secs) for _ in range(3)]
+    ordered = sorted(samples, key=lambda s: s["efficiency"])
+    med = ordered[1]
+    return {"efficiency": med["efficiency"],
+            "spin_rate": med.get("spin_rate"),
+            "samples": [round(s["efficiency"], 3) for s in samples]}
+
+
 def membw_ceiling(levels=(8, 32), mb: int = 64, secs: float = 3.0) -> dict:
     """STREAM-style memory-bandwidth probe: per-process numpy copy of
     an L3-defeating buffer, run at N and 4N processes. The
@@ -276,7 +299,13 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
             "pinning to emulate k-executor levels; install util-linux "
             "or run on a host that provides taskset")
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-               SPARK_GRAFT_SF_DIR=sf_dir)
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               # the claim consumes only pipeline.seq_per_sec; the
+               # ad-hoc headline queries are signal-free wall-clock
+               # that widens the mid-run window exposure the post
+               # gates exist to catch (three round-4 runs were
+               # invalidated by mid-run window collapse)
+               SPARK_GRAFT_PIPELINE_ONLY="1")
     # scaling runs need enough work that fixed per-job overheads
     # (scheduling, worker pool, GC) amortize — otherwise the 4N level
     # measures overhead, not throughput; the INPUT is identical at
@@ -353,7 +382,7 @@ def main():
     # absolute @32 number (see membw_ceiling docstring for why the
     # N->4N ratio is NOT the signal).
     min_membw = float(os.environ.get("SPARK_GRAFT_MIN_MEMBW_GBS", "110"))
-    pre_hw = hardware_ceiling()
+    pre_hw = hardware_ceiling_med3()
     if pre_hw["efficiency"] < min_ceiling:
         print(json.dumps({
             "metric": "scaling_efficiency_8_to_32",
@@ -388,7 +417,18 @@ def main():
             "sample": rs[-1],
         }
     eff = (results[32]["seq_per_sec"] / results[8]["seq_per_sec"]) / 4.0
-    hw = hardware_ceiling()
+    # Post-run settle before the post gate probes. The round-4
+    # calibration (BENCH/probe_calibration_r4.jsonl) shows a pure-ALU
+    # 3-min burn does NOT suppress the next probe (it read slightly
+    # HIGH), so the settle is not load-compensation; it exists so the
+    # post probe samples the window state rather than the instant of
+    # JVM teardown (python worker reaping, page-cache churn) that
+    # follows a ~10-minute memory-heavy bench — conditions the ALU
+    # calibration does not reproduce. Fixed and pre-registered, never
+    # retried-until-green; the probe that follows is the same
+    # median-of-3 instrument as the pre gate.
+    time.sleep(float(os.environ.get("SPARK_GRAFT_POST_SETTLE_SECS", "90")))
+    hw = hardware_ceiling_med3()
     try:
         bw = membw_best2()
     except Exception:
@@ -404,6 +444,14 @@ def main():
         "normalized_to_hw_ceiling": round(eff_norm, 3),
         "hw_ceiling_spin_efficiency": round(hw["efficiency"], 3),
         "hw_ceiling_pre_run": round(pre_hw["efficiency"], 3),
+        # gate-instrument provenance (round 4): median-of-3 spin
+        # samples (all recorded), fixed post-run settle, signal-free
+        # ad-hoc queries dropped from scaling invocations. The bench
+        # TIMING protocol is unchanged (still PROTOCOL 2); this field
+        # versions only how window validity is instrumented.
+        "gate_instrument": "spin_med3+settle90+pipeline_only",
+        "hw_ceiling_samples_pre": pre_hw.get("samples"),
+        "hw_ceiling_samples_post": hw.get("samples"),
         "membw_ceiling": (round(bw["efficiency"], 3) if bw else None),
         "membw_bytes_per_sec": (bw["bytes_per_sec"] if bw else None),
         "membw_pre_gbs": round(pre_bw["gbs_wide"], 1),
@@ -607,6 +655,25 @@ rusage): {json.dumps(summary['foreign_cores'])}. An invocation of a
 claim-bearing level (8 or 32) that saw > 1.5 foreign cores marks the
 whole row invalid automatically, with the numbers as the recorded
 reason — exclusion is mechanical, never post-hoc.
+
+Gate instrumentation ({summary.get('gate_instrument', 'pre-round-4')}):
+window validity is gated pre- AND post-run on (a) the spin ceiling —
+MEDIAN of 3 independent samples, each recorded in the ledger row —
+and (b) deliverable memory bandwidth (best-of-2, absolute GB/s @32).
+Median-of-3 on the spin axis for the same reason best-of-2 guards the
+bandwidth axis: single samples must not veto or green-light a window.
+Idle-box calibration (`BENCH/probe_calibration_r4.jsonl`) measured
+six back-to-back single spin samples spanning 0.775-0.852 — a spread
+that straddles the 0.85 gate with no load change at all — and a
+median is required (not best-of) because the spin metric is a ratio a
+transient stomp during the 8-proc phase INFLATES. The post probe runs
+after a fixed pre-registered settle (90 s; the same calibration shows
+a pure-ALU burn does not suppress the next probe, so the settle only
+insulates against JVM-teardown transients, not our own load). Scaling
+invocations run bench.py in pipeline-only mode: the ad-hoc headline
+queries add ~30-40% wall-clock with zero scaling signal, and every
+signal-free minute inside a window raises the odds it collapses
+mid-run (the fate of three round-4 runs).
 
 ## Invocation history (append-only, BENCH/scaling_history.jsonl)
 

@@ -20,7 +20,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from tools.bench_scaling import hardware_ceiling, membw_best2  # noqa: E402
+from tools.bench_scaling import hardware_ceiling_med3, membw_best2  # noqa: E402
 
 
 def main():
@@ -48,10 +48,14 @@ def main():
         b0 = _total_busy_cpu_secs()
         time.sleep(1.0)
         busy_cores = _total_busy_cpu_secs() - b0
-        hw = hardware_ceiling(secs=4.0)
+        # median-of-3, same instrument as the harness gates: the old
+        # single-sample poll green-lit transient spikes (0.985 polls
+        # followed by 0.829 pre-gate skips) and wasted window time
+        hw = hardware_ceiling_med3(secs=3.0)
         eff = hw["efficiency"]
         bw = membw_best2(secs=1.5)
         print(json.dumps({"watch_ceiling": round(eff, 3),
+                          "watch_samples": hw.get("samples"),
                           "watch_membw_gbs": round(bw["gbs_wide"], 1),
                           "busy_cores": round(busy_cores, 2),
                           "rows_done": done}),
