@@ -216,3 +216,54 @@ def vocab_oov_stats(docs: DataFrame, vocab_k: int = 20,
                     F.expr("CAST(10000 * n_oov DIV n_tokens AS BIGINT)")
                     .alias("oov_bp"))
             .orderBy(group_col))
+
+
+def vocab_growth(docs: DataFrame,
+                 checkpoints: tuple[int, ...] = (4, 8, 16, 32, 64, 96,
+                                                 128, 256, 1024, 32768),
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Heaps-law vocabulary-growth curve: for each checkpoint N,
+    the number of DISTINCT words whose first occurrence lies within
+    the first N tokens of the corpus stream (docs concatenated in
+    ``id_col`` order, words in document order). Returns
+    (checkpoint, tokens_seen, vocab_size) with tokens_seen =
+    min(N, corpus total) — the saturation witness.
+
+    Heaps' law (V ~ K * N^beta, public IR literature) is the standard
+    growth model a tokenizer-budget decision reads off this curve.
+
+    Scale design: the global token index comes from the distributed
+    two-pass prefix sum over per-doc word counts
+    (operators/packing.py:global_prefix_sum — no single-task sort);
+    each word's FIRST global index is one min-aggregation exchange on
+    the word key; the curve itself is a single row of conditional
+    sums (one per checkpoint) unpivoted with ``stack`` — no second
+    pass over the stream, no collect. All integer arithmetic."""
+    sized = docs.select(
+        id_col,
+        F.split(F.col(text_col), " ").alias("ws")
+    ).select(id_col, "ws", F.size("ws").cast("long").alias("n_w"))
+    from console_log_parser_spark.operators.packing import \
+        global_prefix_sum
+    cum = global_prefix_sum(sized, [id_col], "n_w", "w_end")
+    toks = (cum
+            .select((F.col("w_end") - F.col("n_w")).alias("off"),
+                    F.posexplode("ws").alias("pos", "w"))
+            .filter(F.col("w") != "")
+            .select((F.col("off") + F.col("pos")).alias("gidx"), "w"))
+    first = toks.groupBy("w").agg(F.min("gidx").alias("first_idx"))
+    row = first.agg(*[
+        F.sum(F.when(F.col("first_idx") < cp, 1).otherwise(0))
+        .cast("long").alias(f"v{cp}") for cp in checkpoints])
+    total = cum.agg(F.max("w_end").cast("long").alias("n_total"))
+    stacked = ", ".join(f"{cp}L, v{cp}" for cp in checkpoints)
+    return (row.crossJoin(F.broadcast(total))
+            .selectExpr(
+                f"stack({len(checkpoints)}, {stacked}) "
+                "AS (checkpoint, vocab_size)", "n_total")
+            .select(F.col("checkpoint").cast("long").alias("checkpoint"),
+                    F.least("checkpoint", "n_total").cast("long")
+                    .alias("tokens_seen"),
+                    "vocab_size")
+            .orderBy("checkpoint"))

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from console_log_parser_spark.operators.vocab import (
     US, bpe_learn, bpe_pair_counts, symbol_words, vocab_oov_stats)
 
+SF = "/root/testdata/sf0.001"
+
 
 def _docs(spark, texts):
     return spark.createDataFrame(
@@ -135,3 +137,37 @@ def test_bpe_encode_plan_is_map_plus_one_agg(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan  # literal merges fold into the plan
+
+
+def _growth_ref(texts, cps):
+    first, g = {}, 0
+    for _, txt in sorted(texts):
+        for w in txt.split(" "):
+            if w != "" and w not in first:
+                first[w] = g
+            g += 1
+    return [(c, min(c, g), sum(1 for v in first.values() if v < c))
+            for c in cps]
+
+
+def test_vocab_growth_matches_reference(spark):
+    from console_log_parser_spark.operators.vocab import vocab_growth
+    texts = [(0, "a b c a"), (1, "b d"), (2, ""), (3, "e a f f g")]
+    cps = (1, 2, 4, 6, 8, 16)
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = [(r["checkpoint"], r["tokens_seen"], r["vocab_size"])
+           for r in vocab_growth(df, checkpoints=cps).collect()]
+    # note doc 2: split('') == [''] occupies one stream slot but
+    # never enters the vocabulary — pinned by the reference too
+    assert got == _growth_ref(texts, cps)
+
+
+def test_vocab_growth_corpus(spark):
+    from console_log_parser_spark.operators.vocab import vocab_growth
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    texts = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    cps = (4, 16, 64, 256, 4096)
+    got = [(r["checkpoint"], r["tokens_seen"], r["vocab_size"])
+           for r in vocab_growth(docs, checkpoints=cps).collect()]
+    assert got == _growth_ref(texts, cps)

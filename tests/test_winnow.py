@@ -1,0 +1,102 @@
+"""Winnowing sketch (operators/winnow.py) vs an independent
+pure-Python reference implementation of the Schleimer et al. algorithm
+(explicit window walk, tie -> rightmost), on the driver documents
+table (sf0.001) plus hand-built boundary docs."""
+import hashlib
+
+from console_log_parser_spark.operators.winnow import (POS_MOD,
+                                                       winnow_sketch_stats)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _ref_winnow(text: str, k: int = 3, w: int = 4):
+    """Reference: per-window explicit scan, min hash, ties broken to
+    the RIGHTMOST position — no packed-key trick, so agreement with
+    the operator's packed arithmetic is a real cross-check."""
+    ws = text.split(" ")
+    hs = [_h48(" ".join(ws[i:i + k])) for i in range(len(ws) - k + 1)] \
+        if len(ws) >= k else []
+    if not hs:
+        return {"n_words": len(ws), "n_grams": 0, "sketch": set()}
+    sketch = set()
+    n_win = max(len(hs) - w + 1, 1)
+    for s in range(n_win):
+        window = hs[s:s + w]
+        m = min(window)
+        # rightmost occurrence of the min within the window
+        _pos = s + max(i for i, h in enumerate(window) if h == m)
+        sketch.add(m)
+    return {"n_words": len(ws), "n_grams": len(hs), "sketch": sketch}
+
+
+def _rows_for(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    return {r["doc_id"]: r.asDict()
+            for r in winnow_sketch_stats(df, k=3, w=4).collect()}
+
+
+def test_boundary_docs_match_reference(spark):
+    texts = [
+        "",                                   # split -> [''], no gram
+        "one two",                            # < k words
+        "a b c",                              # exactly one gram
+        "a b c d",                            # 2 grams, stream < w
+        "a b c d e f",                        # 4 grams = one window
+        "a a a a a a a a",                    # all-identical grams
+        "x y z x y z x y z x y z",            # periodic
+    ]
+    got = _rows_for(spark, texts)
+    for i, t in enumerate(texts):
+        ref = _ref_winnow(t)
+        row = got[i]
+        assert row["n_words"] == ref["n_words"], (i, t)
+        assert row["n_grams"] == ref["n_grams"], (i, t)
+        assert row["sketch_size"] == len(ref["sketch"]), (i, t)
+        if ref["sketch"]:
+            assert row["min_fp"] == min(ref["sketch"]), (i, t)
+            assert row["max_fp"] == max(ref["sketch"]), (i, t)
+        else:
+            assert row["min_fp"] is None and row["max_fp"] is None
+
+
+def test_corpus_docs_match_reference(spark):
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").limit(40))
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r.asDict()
+           for r in winnow_sketch_stats(docs, k=3, w=4).collect()}
+    assert len(got) == len(texts)
+    for did, t in texts.items():
+        ref = _ref_winnow(t)
+        assert got[did]["n_grams"] == ref["n_grams"]
+        assert got[did]["sketch_size"] == len(ref["sketch"])
+        if ref["sketch"]:
+            assert got[did]["min_fp"] == min(ref["sketch"])
+            assert got[did]["max_fp"] == max(ref["sketch"])
+
+
+def test_guarantee_shared_run_shares_fingerprint(spark):
+    # the winnowing guarantee: two docs sharing a run of
+    # >= w + k - 1 = 6 words share at least one fingerprint
+    shared = "alpha beta gamma delta epsilon zeta"
+    texts = [f"p q r {shared} s t u", f"m n {shared} o"]
+    a, b = (_ref_winnow(t)["sketch"] for t in texts)
+    assert a & b, "winnowing guarantee violated in reference"
+    # and the operator agrees with the reference sketch on both docs
+    got = _rows_for(spark, texts)
+    for i, t in enumerate(texts):
+        ref = _ref_winnow(t)
+        assert got[i]["sketch_size"] == len(ref["sketch"])
+        assert got[i]["min_fp"] == min(ref["sketch"])
+        assert got[i]["max_fp"] == max(ref["sketch"])
+
+
+def test_packed_key_headroom():
+    # packed key must stay under 2^63: 48-bit hash * 2^13 + 13 bits
+    assert ((1 << 48) - 1) * POS_MOD + (POS_MOD - 1) < (1 << 62)
