@@ -16,10 +16,11 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 86 — so thirty-six entries rotate out of the driver's
+the dict holds 88 — so thirty-eight entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions
 ``doc_winnow_sketch``, ``embedding_kmeans``, ``doc_vocab_growth``,
+``doc_winnow_pairs``, ``events_transitions``,
 ``doc_bpe_encode``, ``doc_incremental_dedup``, ``doc_length_batches``,
 ``doc_ccnet_buckets``,
 ``doc_lm_score``, ``doc_token_windows``, ``events_retention_cohorts``,
@@ -1686,6 +1687,37 @@ def embedding_kmeans(spark, sf_dir):
                     "n_vecs", "inertia", "min_vec_id"))
 
 
+def doc_winnow_pairs(spark, sf_dir):
+    """Near-dup candidate pairs from winnowing sketches
+    (operators/winnow.py winnow_candidate_pairs): per-fingerprint doc
+    buckets (ONE fp-keyed exchange, no self-join), boilerplate
+    fingerprints (df > 8) pruned, bounded map-side pair expansion,
+    pairs sharing >= 2 fingerprints. The oracle is the independent
+    self-join formulation of the same semantics."""
+    from console_log_parser_spark.operators.winnow import (
+        winnow_candidate_pairs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (winnow_candidate_pairs(docs, k=3, w=4, max_df=8,
+                                   min_shared=2)
+            .select(F.col("doc_a").cast("long").alias("doc_a"),
+                    F.col("doc_b").cast("long").alias("doc_b"),
+                    "n_shared")
+            .orderBy("doc_a", "doc_b"))
+
+
+def events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over the event stream
+    (operators/transitions.py): per-user lag on a user-PARTITIONED
+    window (one hash exchange, bounded per-user streams), then a
+    |types|^2-bounded partial+final agg with exact n_users
+    (approx_count_distinct is the documented 10^12-row swap)."""
+    from console_log_parser_spark.operators.transitions import (
+        transition_counts)
+    ev = _t(spark, sf_dir, "events")
+    return (transition_counts(ev)
+            .orderBy("prev_type", "next_type"))
+
+
 VOCAB_GROWTH_CPS = (4, 8, 16, 32, 64, 96, 128, 256, 1024, 32768)
 
 
@@ -1786,6 +1818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_sketch": doc_winnow_sketch,
         "embedding_kmeans": embedding_kmeans,
         "doc_vocab_growth": doc_vocab_growth,
+        "doc_winnow_pairs": doc_winnow_pairs,
+        "events_transitions": events_transitions,
         "doc_bpe_encode": doc_bpe_encode,
         "doc_incremental_dedup": doc_incremental_dedup,
         "doc_length_batches": doc_length_batches,
@@ -2014,6 +2048,59 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "embedding_kmeans": _kmeans_oracle(10, 64, 16, 2),
         # Heaps-law growth curve: window prefix sum + struct unnest
         "doc_vocab_growth": _vocab_growth_oracle(VOCAB_GROWTH_CPS),
+        # winnow pairs: independent SELF-JOIN formulation of the
+        # bucket-expansion semantics (df-capped, >= 2 shared fps)
+        "doc_winnow_pairs": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 3 THEN
+                         (list_transform(range(1, len(ws) - 1),
+                           i -> ((('0x' || substr(md5(ws[i] || ' ' ||
+                                ws[i+1] || ' ' || ws[i+2]), 1, 12))
+                                ::BIGINT) * 8192 + (8191 - (i - 1)))))
+                       ELSE []::BIGINT[] END AS gk
+                FROM w
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN len(gk) = 0 THEN []::BIGINT[]
+                       ELSE (list_distinct(list_transform(
+                           range(1, greatest(len(gk) - 3, 1) + 1),
+                           i -> (list_min(list_slice(gk, i, i + 3))
+                                 // 8192)))) END AS fps
+                FROM g
+            ), e AS (
+                SELECT doc_id, unnest(fps) AS fp FROM s
+            ), hot AS (
+                SELECT fp FROM e GROUP BY fp
+                HAVING COUNT(*) BETWEEN 2 AND 8
+            ), ke AS (
+                SELECT e.doc_id, e.fp FROM e JOIN hot USING (fp)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*)::BIGINT AS n_shared
+            FROM ke a JOIN ke b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ORDER BY 1, 2
+        """,
+        # per-user lag window, identical ordering key in both engines
+        "events_transitions": """
+            WITH l AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, event_type AS next_type,
+                   COUNT(*)::BIGINT AS n_trans,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM l WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         # learn the 6 merges via the shared CTE chain, then apply them
         # as nested scalar-subquery replaces per document word
         "doc_bpe_encode": _bpe_encode_oracle(6),

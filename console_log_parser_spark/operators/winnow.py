@@ -59,6 +59,61 @@ def packed_gram_keys(ws_col: str, k: int) -> Column:
         "ELSE cast(array() as array<bigint>) END")
 
 
+def winnow_fingerprint_arrays(docs: DataFrame, k: int = 3, w: int = 4,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """(id, n_words, n_grams, fps: array<long>) — the distinct
+    winnowing fingerprints per document, still one map-side
+    projection (the shared core of the stats and pair operators)."""
+    df = (docs
+          .select(id_col, F.split(F.col(text_col), " ").alias("ws"))
+          .select(id_col,
+                  F.size("ws").cast("long").alias("n_words"),
+                  packed_gram_keys("ws", k).alias("gk")))
+    n_win = f"greatest(size(gk) - {w - 1}, 1)"
+    sel = (f"array_distinct(transform(sequence(1, {n_win}), "
+           f"i -> array_min(slice(gk, i, {w})) div {POS_MOD}))")
+    return df.select(
+        id_col, "n_words",
+        F.size("gk").cast("long").alias("n_grams"),
+        F.expr(f"CASE WHEN size(gk) = 0 THEN "
+               f"cast(array() as array<bigint>) "
+               f"ELSE {sel} END").alias("fps"))
+
+
+def winnow_candidate_pairs(docs: DataFrame, k: int = 3, w: int = 4,
+                           max_df: int = 8, min_shared: int = 2,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Near-dup candidate pairs from the winnowing sketches:
+    (doc_a, doc_b, n_shared) for every pair sharing at least
+    ``min_shared`` fingerprints, doc_a < doc_b.
+
+    Scale design — ONE fingerprint-keyed exchange, no self-join: the
+    exploded (doc, fp) rows group into per-fingerprint doc buckets; a
+    fingerprint held by more than ``max_df`` documents is dropped as
+    boilerplate (a gram shared by hundreds of documents is template
+    text, not a copy signal — the same hot-key prune as the PPJoin
+    hot-shingle rule in dedup.py), so every surviving bucket expands
+    to at most max_df*(max_df-1)/2 pairs map-side. The pair
+    aggregation exchanges two longs per candidate."""
+    fps = (winnow_fingerprint_arrays(docs, k, w, id_col, text_col)
+           .select(id_col, F.explode("fps").alias("fp")))
+    buckets = (fps.groupBy("fp")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("ds"))
+               .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df)))
+    pairs = buckets.select(F.explode(F.expr(
+        "flatten(transform(sequence(1, size(ds) - 1), i -> "
+        "transform(sequence(i + 1, size(ds)), j -> "
+        "struct(element_at(ds, i) AS a, element_at(ds, j) AS b))))"
+    )).alias("p"))
+    return (pairs
+            .groupBy(F.col("p.a").alias("doc_a"),
+                     F.col("p.b").alias("doc_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
 def winnow_sketch_stats(docs: DataFrame, k: int = 3, w: int = 4,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
@@ -72,20 +127,7 @@ def winnow_sketch_stats(docs: DataFrame, k: int = 3, w: int = 4,
     non-empty stream shorter than ``w`` is treated as one window (the
     natural boundary convention for short inputs); with no k-gram at
     all the sketch is empty and the fp columns are NULL."""
-    df = (docs
-          .select(id_col, F.split(F.col(text_col), " ").alias("ws"))
-          .select(id_col,
-                  F.size("ws").cast("long").alias("n_words"),
-                  packed_gram_keys("ws", k).alias("gk")))
-    n_win = f"greatest(size(gk) - {w - 1}, 1)"
-    sel = (f"array_distinct(transform(sequence(1, {n_win}), "
-           f"i -> array_min(slice(gk, i, {w})) div {POS_MOD}))")
-    return (df
-            .select(id_col, "n_words",
-                    F.size("gk").cast("long").alias("n_grams"),
-                    F.expr(f"CASE WHEN size(gk) = 0 THEN "
-                           f"cast(array() as array<bigint>) "
-                           f"ELSE {sel} END").alias("fps"))
+    return (winnow_fingerprint_arrays(docs, k, w, id_col, text_col)
             .select(id_col, "n_words", "n_grams",
                     F.size("fps").cast("long").alias("sketch_size"),
                     F.expr("CASE WHEN size(fps) = 0 THEN NULL "

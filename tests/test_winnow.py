@@ -100,3 +100,51 @@ def test_guarantee_shared_run_shares_fingerprint(spark):
 def test_packed_key_headroom():
     # packed key must stay under 2^63: 48-bit hash * 2^13 + 13 bits
     assert ((1 << 48) - 1) * POS_MOD + (POS_MOD - 1) < (1 << 62)
+
+
+def _ref_pairs(texts, max_df=8, min_shared=2):
+    sketches = {i: _ref_winnow(t)["sketch"] for i, t in enumerate(texts)}
+    from collections import Counter
+    df = Counter(fp for s in sketches.values() for fp in s)
+    kept = {i: {fp for fp in s if 2 <= df[fp] <= max_df}
+            for i, s in sketches.items()}
+    pairs = {}
+    ids = sorted(kept)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            n = len(kept[ids[x]] & kept[ids[y]])
+            if n >= min_shared:
+                pairs[(ids[x], ids[y])] = n
+    return pairs
+
+
+def test_candidate_pairs_match_reference(spark):
+    from console_log_parser_spark.operators.winnow import (
+        winnow_candidate_pairs)
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [
+        f"p q r {shared} s t u",
+        f"m n {shared} o",
+        "completely different words here entirely novel tokens",
+        f"v w {shared} x y z",
+        "p q r s t u v w x y z p q r s t u",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in winnow_candidate_pairs(df).collect()}
+    assert got == _ref_pairs(texts)
+    # the three shared-run docs must all pair up
+    assert (0, 1) in got and (0, 3) in got and (1, 3) in got
+
+
+def test_candidate_pairs_corpus_sample(spark):
+    from console_log_parser_spark.operators.winnow import (
+        winnow_candidate_pairs)
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").limit(60))
+    texts = [r["text"] for r in docs.orderBy("doc_id").collect()]
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in winnow_candidate_pairs(docs).collect()}
+    # reference uses positional ids; corpus doc_ids are 0..59 ordered
+    assert got == _ref_pairs(texts)
