@@ -256,7 +256,11 @@ def vocab_growth(docs: DataFrame,
     row = first.agg(*[
         F.sum(F.when(F.col("first_idx") < cp, 1).otherwise(0))
         .cast("long").alias(f"v{cp}") for cp in checkpoints])
-    total = cum.agg(F.max("w_end").cast("long").alias("n_total"))
+    # total stream length is a plain sum over per-doc counts — taking
+    # max(w_end) instead would duplicate the whole prefix-sum subtree
+    # (range exchange + windows) into this 1-row branch, a second full
+    # pass over the corpus at scale (caught in the PLANS.md dump)
+    total = sized.agg(F.sum("n_w").cast("long").alias("n_total"))
     stacked = ", ".join(f"{cp}L, v{cp}" for cp in checkpoints)
     return (row.crossJoin(F.broadcast(total))
             .selectExpr(

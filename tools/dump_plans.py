@@ -157,6 +157,37 @@ SHOWN = [
      "RangePartitioning exchange + in-partition sort; "
      "tests/test_sampling.py pins that shape and partition-order == "
      "global-order."),
+    ("doc_winnow_sketch",
+     "Winnowing fingerprint sketch: the ENTIRE sketch — k-gram "
+     "hashing, tie-rightmost window minima on the packed integer "
+     "key, distinct + stats — is one map-side array projection over "
+     "the scan. No explode, no window partition, and the only "
+     "exchange in the plan is the final orderBy of this pin query; "
+     "a production sketch job has none."),
+    ("doc_winnow_pairs",
+     "Winnow near-dup candidates: exploded (doc, fp) rows -> ONE "
+     "fingerprint-keyed exchange into per-fp doc buckets (df-capped: "
+     "boilerplate fingerprints dropped before expansion) -> map-side "
+     "bounded pair expansion -> pair-keyed partial+final agg. No "
+     "self-join of the corpus relation anywhere."),
+    ("embedding_kmeans",
+     "Integer Lloyd k-means (final-assignment query): centroids are "
+     "LITERALS inside one whole-stage-codegen projection (no "
+     "centroid join), so assignment is map-side; each Lloyd "
+     "iteration behind it is the same projection plus one "
+     "k x (dim+1)-long partial+final agg. The pin plan shows the "
+     "literal-argmin projection and the tiny final aggregate."),
+    ("doc_vocab_growth",
+     "Heaps-law growth: distributed two-pass prefix sum (range "
+     "exchange + in-partition window + broadcast triangular offsets) "
+     "-> posexplode -> ONE word-keyed min agg -> a single "
+     "conditional-sum row unpivoted with stack; the corpus is "
+     "exchanged once, the curve never is."),
+    ("events_transitions",
+     "Event-transition matrix: ONE user-keyed hash exchange for the "
+     "partitioned lag window (bounded per-user streams), then the "
+     "|types|^2-bounded partial+final agg with exact "
+     "count_distinct(user)."),
 ]
 
 
