@@ -16,11 +16,11 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 88 — so thirty-eight entries rotate out of the driver's
+the dict holds 89 — so thirty-nine entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions
 ``doc_winnow_sketch``, ``embedding_kmeans``, ``doc_vocab_growth``,
-``doc_winnow_pairs``, ``events_transitions``,
+``doc_winnow_pairs``, ``events_transitions``, ``doc_crossdup_minhash``,
 ``doc_bpe_encode``, ``doc_incremental_dedup``, ``doc_length_batches``,
 ``doc_ccnet_buckets``,
 ``doc_lm_score``, ``doc_token_windows``, ``events_retention_cohorts``,
@@ -1705,6 +1705,30 @@ def doc_winnow_pairs(spark, sf_dir):
             .orderBy("doc_a", "doc_b"))
 
 
+def doc_crossdup_minhash(spark, sf_dir):
+    """Cross-corpus NEAR-dup at ingest (operators/dedup.py
+    crossdup_minhash_pairs): the doc_id % 5 == 0 batch lands against
+    the corpus of the rest; LSH bands of the batch equi-join bands of
+    the corpus (never corpus x corpus), candidates verified by exact
+    cross-side shingle Jaccard >= 1/2 (integer cross-multiplication).
+    The corpus has organic near-dups across the split (14 verified
+    pairs at sf0.01), so nothing is planted. The oracle replicates the
+    full LSH semantics — same fixed permutation constants, band
+    layout, and verify filter."""
+    from console_log_parser_spark.operators.dedup import (
+        crossdup_minhash_pairs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.expr("doc_id % 5 = 0"))
+    corpus = docs.filter(F.expr("doc_id % 5 <> 0"))
+    return (crossdup_minhash_pairs(new, corpus)
+            .select(F.col("batch_id").cast("long").alias("batch_id"),
+                    F.col("corpus_id").cast("long").alias("corpus_id"),
+                    F.col("common").cast("long").alias("common"),
+                    F.col("size_a").cast("long").alias("size_a"),
+                    F.col("size_b").cast("long").alias("size_b"))
+            .orderBy("batch_id", "corpus_id"))
+
+
 def events_transitions(spark, sf_dir):
     """First-order Markov transition matrix over the event stream
     (operators/transitions.py): per-user lag on a user-PARTITIONED
@@ -1820,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_growth": doc_vocab_growth,
         "doc_winnow_pairs": doc_winnow_pairs,
         "events_transitions": events_transitions,
+        "doc_crossdup_minhash": doc_crossdup_minhash,
         "doc_bpe_encode": doc_bpe_encode,
         "doc_incremental_dedup": doc_incremental_dedup,
         "doc_length_batches": doc_length_batches,
@@ -2085,6 +2110,58 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING COUNT(*) >= 2
             ORDER BY 1, 2
+        """,
+        # cross-corpus LSH: same perms/bands as doc_minhash_dedup,
+        # batch bands joined to corpus bands, exact Jaccard verify
+        "doc_crossdup_minhash": """
+            WITH docs AS (SELECT doc_id, text FROM documents),
+            words AS (SELECT doc_id, doc_id % 5 = 0 AS is_new,
+                             string_split(text, ' ') AS ws FROM docs),
+            sh AS (SELECT doc_id, is_new, unnest(list_distinct(
+                       [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, greatest(len(ws) - 1, 1))]))
+                       AS s
+                   FROM words),
+            h AS (SELECT doc_id, is_new,
+                         ('0x' || substr(md5(s), 1, 15))::BIGINT
+                             % 2147483647 AS hv
+                  FROM sh),
+            perms(j, a, b) AS (VALUES
+                (0, 1203077387, 528034983), (1, 885961883, 1723930551),
+                (2, 1817469788, 1236687677), (3, 602982498, 1106438810),
+                (4, 2006519551, 927473217), (5, 460128514, 1597226340),
+                (6, 1106819081, 342973211), (7, 1378749216, 79380292)),
+            mins AS (SELECT doc_id, is_new, j,
+                            min((a * hv + b) % 2147483647) AS mv
+                     FROM h CROSS JOIN perms GROUP BY 1, 2, 3),
+            sigs AS (SELECT doc_id, is_new,
+                            array_agg(mv ORDER BY j) AS sig
+                     FROM mins GROUP BY 1, 2),
+            bands AS (SELECT doc_id, is_new,
+                             t.b || ':' || sig[t.b*2+1] || '_'
+                                 || sig[t.b*2+2] AS bucket
+                      FROM sigs CROSS JOIN
+                           (SELECT unnest(range(4)) AS b) t),
+            cand AS (SELECT DISTINCT x.doc_id AS batch_id,
+                            y.doc_id AS corpus_id
+                     FROM bands x JOIN bands y ON x.bucket = y.bucket
+                     WHERE x.is_new AND NOT y.is_new),
+            sizes AS (SELECT doc_id, count(DISTINCT s) AS n FROM sh
+                      GROUP BY doc_id),
+            cmn AS (SELECT batch_id, corpus_id, count(*) AS common
+                    FROM cand
+                    JOIN sh sa ON sa.doc_id = cand.batch_id
+                    JOIN sh sb ON sb.doc_id = cand.corpus_id
+                              AND sb.s = sa.s
+                    GROUP BY 1, 2)
+            SELECT batch_id, corpus_id,
+                   CAST(common AS BIGINT) AS common,
+                   CAST(sa.n AS BIGINT) AS size_a,
+                   CAST(sb.n AS BIGINT) AS size_b
+            FROM cmn JOIN sizes sa ON sa.doc_id = cmn.batch_id
+                     JOIN sizes sb ON sb.doc_id = cmn.corpus_id
+            WHERE 2 * common >= (sa.n + sb.n - common)
+            ORDER BY batch_id, corpus_id
         """,
         # per-user lag window, identical ordering key in both engines
         "events_transitions": """

@@ -87,21 +87,30 @@ def minhash_signatures(df: DataFrame, k: int = 3, n_perm: int = 8,
         id_col, F.array(*[f"m{j}" for j in range(n_perm)]).alias("sig"))
 
 
+def minhash_bands(df: DataFrame, k: int = 3, n_perm: int = 8,
+                  n_bands: int = 4, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  _shingles: DataFrame | None = None) -> DataFrame:
+    """(id, bucket) — one row per LSH band bucket per document."""
+    rows_per_band = n_perm // n_bands
+    sigs = minhash_signatures(df, k, n_perm, id_col, text_col, _shingles)
+    return sigs.select(
+        id_col,
+        F.explode(F.expr(
+            f"transform(sequence(0, {n_bands - 1}), b -> "
+            f"concat_ws(':', b, "
+            f"concat_ws('_', slice(sig, b * {rows_per_band} + 1, "
+            f"{rows_per_band}))))")).alias("bucket"))
+
+
 def minhash_lsh_candidates(df: DataFrame, k: int = 3, n_perm: int = 8,
                            n_bands: int = 4, id_col: str = "doc_id",
                            text_col: str = "text",
                            _shingles: DataFrame | None = None) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs
     (doc_a < doc_b, distinct)."""
-    rows_per_band = n_perm // n_bands
-    sigs = minhash_signatures(df, k, n_perm, id_col, text_col, _shingles)
-    bands = sigs.select(
-        id_col,
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {n_bands - 1}), b -> "
-            f"concat_ws(':', b, "
-            f"concat_ws('_', slice(sig, b * {rows_per_band} + 1, "
-            f"{rows_per_band}))))")).alias("band", "bucket"))
+    bands = minhash_bands(df, k, n_perm, n_bands, id_col, text_col,
+                          _shingles)
     a = bands.select(F.col(id_col).alias("doc_a"), "bucket")
     b = bands.select(F.col(id_col).alias("doc_b"), "bucket")
     return (a.join(b, "bucket")
@@ -418,3 +427,52 @@ def incremental_dedup_audit(new_docs: DataFrame, existing: DataFrame,
                     .when(F.col("_id") != F.col("_first"),
                           F.lit("dup_in_batch"))
                     .otherwise(F.lit("kept")).alias("status")))
+
+
+def crossdup_minhash_pairs(new_docs: DataFrame, existing: DataFrame,
+                           k: int = 3, n_perm: int = 8,
+                           n_bands: int = 4, jaccard_num: int = 1,
+                           jaccard_den: int = 2,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """NEAR-dup counterpart of :func:`incremental_dedup_audit`: LSH
+    candidates between a NEW ingest batch and the EXISTING corpus,
+    verified by exact cross-side shingle Jaccard >= num/den. Returns
+    (batch_id, corpus_id, common, size_a, size_b) — one row per
+    verified near-dup pair; a batch doc with any row should not land.
+
+    Scale design: the corpus is never joined against itself — bands
+    from the batch side equi-join bands from the corpus side, so the
+    candidate volume is bounded by the batch's bucket occupancy, and
+    AQE broadcasts the batch side (tiny vs the corpus) through both
+    the candidate and verification joins. Shingle frames are persisted
+    per side with the explicit lifecycle (split+md5 run once); the
+    verification exchanges only candidate ids + shingle hashes.
+    """
+    sh_new = shingles(new_docs, k, id_col, text_col).persist()
+    sh_old = shingles(existing, k, id_col, text_col).persist()
+    bands_new = minhash_bands(new_docs, k, n_perm, n_bands, id_col,
+                              text_col, _shingles=sh_new)
+    bands_old = minhash_bands(existing, k, n_perm, n_bands, id_col,
+                              text_col, _shingles=sh_old)
+    cands = (bands_new.select(F.col(id_col).alias("batch_id"), "bucket")
+             .join(bands_old.select(F.col(id_col).alias("corpus_id"),
+                                    "bucket"), "bucket")
+             .select("batch_id", "corpus_id").distinct())
+    size_a = sh_new.groupBy(id_col).agg(F.count("*").alias("size_a")) \
+        .select(F.col(id_col).alias("batch_id"), "size_a")
+    size_b = sh_old.groupBy(id_col).agg(F.count("*").alias("size_b")) \
+        .select(F.col(id_col).alias("corpus_id"), "size_b")
+    a = sh_new.select(F.col(id_col).alias("batch_id"), "shingle")
+    b = sh_old.select(F.col(id_col).alias("corpus_id"), "shingle")
+    common = (cands.join(a, "batch_id")
+              .join(b, ["corpus_id", "shingle"])
+              .groupBy("batch_id", "corpus_id")
+              .agg(F.count("*").alias("common")))
+    out = (common.join(size_a, "batch_id").join(size_b, "corpus_id")
+           .filter(F.col("common") * jaccard_den
+                   >= jaccard_num * (F.col("size_a") + F.col("size_b")
+                                     - F.col("common")))
+           .select("batch_id", "corpus_id", "common",
+                   "size_a", "size_b"))
+    return _materialize_and_release(out, sh_new, sh_old)

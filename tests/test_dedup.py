@@ -222,3 +222,38 @@ def test_incremental_dedup_no_python_udf(spark):
     plan = (incremental_dedup_audit(batch, corpus)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan
+
+
+def test_crossdup_minhash_matches_reference(spark, docs):
+    """Cross-corpus near-dup vs a brute-force reference: candidates by
+    band equality across the split, verified by exact set Jaccard.
+    The 60-doc sf0.001 subset has no organic cross-split near-dups, so
+    the batch side is DERIVED from corpus texts (one word appended ->
+    Jaccard stays >= 1/2) plus one unrelated doc as a negative."""
+    corpus_rows = docs.collect()
+    corpus_texts = {r["doc_id"]: r["text"] for r in corpus_rows}
+    batch_texts = {10_000 + d: corpus_texts[d] + " trailing"
+                   for d in sorted(corpus_texts)[:5]}
+    batch_texts[10_999] = "entirely unrelated words with no overlap"
+    exp = {}
+    for a, ta in batch_texts.items():
+        sa, ga = _shingles(ta), _minhash_sig(ta)
+        for b, tb in corpus_texts.items():
+            if not any(ga[i * 2:(i + 1) * 2]
+                       == _minhash_sig(tb)[i * 2:(i + 1) * 2]
+                       for i in range(4)):
+                continue
+            sb = _shingles(tb)
+            common = len(sa & sb)
+            if 2 * common >= len(sa) + len(sb) - common:
+                exp[(a, b)] = (common, len(sa), len(sb))
+    new = spark.createDataFrame(sorted(batch_texts.items()),
+                                "doc_id long, text string")
+    got = {(r["batch_id"], r["corpus_id"]):
+           (r["common"], r["size_a"], r["size_b"])
+           for r in dedup.crossdup_minhash_pairs(new, docs).collect()}
+    assert got == exp
+    # each derived batch doc must at least pair with its source
+    for d in sorted(corpus_texts)[:5]:
+        assert (10_000 + d, d) in got
+    assert not any(a == 10_999 for a, _ in got)
