@@ -16,11 +16,12 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 89 — so thirty-nine entries rotate out of the driver's
+the dict holds 90 — so forty entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions
 ``doc_winnow_sketch``, ``embedding_kmeans``, ``doc_vocab_growth``,
 ``doc_winnow_pairs``, ``events_transitions``, ``doc_crossdup_minhash``,
+``stream_transitions``,
 ``doc_bpe_encode``, ``doc_incremental_dedup``, ``doc_length_batches``,
 ``doc_ccnet_buckets``,
 ``doc_lm_score``, ``doc_token_windows``, ``events_retention_cohorts``,
@@ -546,6 +547,46 @@ def stream_funnel(spark, sf_dir):
                  F.max("t3_us").alias("t3_us"))
             .withColumn("user_id", F.col("user_id").cast("long"))
             .orderBy("user_id"))
+
+
+def stream_transitions(spark, sf_dir):
+    """Streaming event-transition counts (streaming/jobs.py
+    stateful_transitions) over a 2-file time-ordered stream: the
+    per-user LAST event carried across micro-batches supplies the
+    boundary transition, so summing the update-mode sink equals the
+    batch operator (operators/transitions.py) — which is exactly what
+    the SQL oracle computes. A stateful streaming query with a FULL
+    value-hash oracle, not a rows-only check."""
+    import glob
+    import shutil
+    import tempfile
+
+    _ship_package(spark)
+    from console_log_parser_spark.streaming import jobs
+
+    d = tempfile.mkdtemp(prefix="stream_trans_")
+    src = f"{d}/src"
+    os.makedirs(src)
+    ev = _t(spark, sf_dir, "events").orderBy("ts", "event_id")
+    cut = ev.selectExpr("percentile_approx(ts, 0.5) p").first()["p"]
+    for i, part in enumerate((ev.filter(F.col("ts") <= cut),
+                              ev.filter(F.col("ts") > cut))):
+        pdir = f"{d}/p{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        for j, f in enumerate(sorted(glob.glob(f"{pdir}/*.parquet"))):
+            shutil.copy(f, f"{src}/{i:02d}_{j}.parquet")
+
+    _STREAM_SEQ[0] += 1
+    qname = f"stream_transitions_{_STREAM_SEQ[0]}"
+    q = jobs.run_stateful_transitions(spark, src, f"{d}/ckpt", qname,
+                                      max_files_per_trigger=1)
+    q.awaitTermination(300)
+    return (spark.sql(f"SELECT * FROM {qname}")
+            .groupBy("prev_type", "next_type")
+            .agg(F.sum("n").cast("long").alias("n_trans"),
+                 F.countDistinct("user_id").cast("long")
+                 .alias("n_users"))
+            .orderBy("prev_type", "next_type"))
 
 
 def doc_pack_sequences(spark, sf_dir):
@@ -1742,6 +1783,21 @@ def events_transitions(spark, sf_dir):
             .orderBy("prev_type", "next_type"))
 
 
+_TRANSITIONS_ORACLE = """
+    WITH l AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*)::BIGINT AS n_trans,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM l WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 VOCAB_GROWTH_CPS = (4, 8, 16, 32, 64, 96, 128, 256, 1024, 32768)
 
 
@@ -1845,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_pairs": doc_winnow_pairs,
         "events_transitions": events_transitions,
         "doc_crossdup_minhash": doc_crossdup_minhash,
+        "stream_transitions": stream_transitions,
         "doc_bpe_encode": doc_bpe_encode,
         "doc_incremental_dedup": doc_incremental_dedup,
         "doc_length_batches": doc_length_batches,
@@ -2164,20 +2221,11 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             ORDER BY batch_id, corpus_id
         """,
         # per-user lag window, identical ordering key in both engines
-        "events_transitions": """
-            WITH l AS (
-                SELECT user_id, event_type,
-                       lag(event_type) OVER (
-                           PARTITION BY user_id
-                           ORDER BY ts, event_id) AS prev_type
-                FROM events
-            )
-            SELECT prev_type, event_type AS next_type,
-                   COUNT(*)::BIGINT AS n_trans,
-                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-            FROM l WHERE prev_type IS NOT NULL
-            GROUP BY 1, 2 ORDER BY 1, 2
-        """,
+        "events_transitions": _TRANSITIONS_ORACLE,
+        # the streaming operator must equal the batch operator on a
+        # time-ordered stream, so it shares the batch oracle — a
+        # stateful streaming query under the FULL value-hash check
+        "stream_transitions": _TRANSITIONS_ORACLE,
         # learn the 6 merges via the shared CTE chain, then apply them
         # as nested scalar-subquery replaces per document word
         "doc_bpe_encode": _bpe_encode_oracle(6),

@@ -274,3 +274,79 @@ def run_windowed_severity(spark: SparkSession, in_dir: str, out_dir: str,
             .outputMode("append")
             .trigger(availableNow=True)
             .start())
+
+
+TRANS_STATE_DDL = "last_ts_us long, last_event_id long, last_type string"
+TRANS_OUT_DDL = ("user_id long, prev_type string, next_type string, "
+                 "n long")
+
+
+def _transitions_fn(key: tuple, pdf_iter: "Iterator[pd.DataFrame]",
+                    state: GroupState) -> "Iterator[pd.DataFrame]":
+    """Streaming twin of ``operators/transitions.transition_counts``:
+    carry the user's LAST event across micro-batches (three scalars of
+    state no matter how long the stream runs) and emit the transition
+    counts NEW in this batch — the carried event supplies the
+    cross-batch boundary transition, so summing the update-mode sink
+    equals the batch operator on the same time-ordered stream (the
+    sessionizer/funnel arrival contract). Counting is a vectorized
+    pandas groupby, no per-event Python."""
+    last = tuple(state.get) if state.exists else None
+    # a key's batch may arrive as several Arrow chunks with no global
+    # order across them — concat then sort ONCE (per-user batches are
+    # bounded, the sessionizer/funnel contract)
+    pdfs = [p for p in pdf_iter if len(p)]
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "prev_type": pd.Series([], dtype="object"),
+                          "next_type": pd.Series([], dtype="object"),
+                          "n": pd.Series([], dtype="int64")})
+    if not pdfs:
+        yield empty
+        return
+    pdf = pd.concat(pdfs).sort_values(["ts", "event_id"])
+    et = pdf["event_type"].to_numpy()
+    prev = list(et[:-1])
+    nxt = list(et[1:])
+    if last is not None:
+        prev.insert(0, last[2])
+        nxt.insert(0, et[0])
+    ts_us = int(pdf["ts"].iloc[-1].value // 1000)
+    state.update((ts_us, int(pdf["event_id"].iloc[-1]), str(et[-1])))
+    if not prev:
+        yield empty
+        return
+    cnt = (pd.DataFrame({"prev_type": prev, "next_type": nxt})
+           .groupby(["prev_type", "next_type"]).size().reset_index())
+    cnt.columns = ["prev_type", "next_type", "n"]
+    cnt.insert(0, "user_id", key[0])
+    yield cnt
+
+
+def stateful_transitions(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user event-type transition counts
+    with cross-micro-batch boundary state (applyInPandasWithState)."""
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _transitions_fn,
+                outputStructType=TRANS_OUT_DDL,
+                stateStructType=TRANS_STATE_DDL,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_stateful_transitions(spark: SparkSession, in_dir: str,
+                             checkpoint_dir: str, query_name: str,
+                             max_files_per_trigger: int = 1):
+    """Drive the stateful transition counter over a file stream into a
+    memory sink (update mode); returns the started query."""
+    events = (spark.readStream.schema(EVENTS_SCHEMA_DDL)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(in_dir))
+    out = stateful_transitions(events)
+    return (out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -203,3 +203,56 @@ def test_stateful_funnel_matches_batch(spark, events_split_dir,
     # at least one user must have completed the chain for the test to
     # mean anything
     assert any(t[2] is not None for t in final.values())
+
+
+def test_stateful_transitions_match_batch(spark, tmp_path_factory):
+    """The carried-last-event streaming transition counter over 4
+    time-ordered micro-batches must equal the batch operator —
+    including the transitions that only exist across batch
+    boundaries."""
+    import glob
+    import shutil
+
+    from console_log_parser_spark.operators.transitions import (
+        transition_counts)
+    from console_log_parser_spark.streaming import jobs
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("trans_stream")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .orderBy("ts", "event_id")
+    rows = ev.collect()
+    q4 = (len(rows) + 3) // 4
+    src = str(d / "flat")
+    os.makedirs(src)
+    for i in range(4):
+        chunk = rows[i * q4:(i + 1) * q4]
+        if not chunk:
+            continue
+        pdir = str(d / f"part_{i}")
+        (spark.createDataFrame(chunk, ev.schema).coalesce(1)
+         .write.mode("overwrite").parquet(pdir))
+        for j, f in enumerate(sorted(glob.glob(f"{pdir}/*.parquet"))):
+            shutil.copy(f, os.path.join(src, f"{i:02d}_{j}.parquet"))
+
+    ckpt = str(tmp_path_factory.mktemp("trans_ckpt"))
+    sq = jobs.run_stateful_transitions(
+        spark, src, ckpt, query_name="trans_test",
+        max_files_per_trigger=1)
+    _wait(sq)
+    got = {(r["prev_type"], r["next_type"]): (r["n_trans"], r["n_users"])
+           for r in (spark.sql("SELECT * FROM trans_test")
+                     .groupBy("prev_type", "next_type")
+                     .agg(F.sum("n").alias("n_trans"),
+                          F.countDistinct("user_id").alias("n_users"))
+                     .collect())}
+    want = {(r["prev_type"], r["next_type"]): (r["n_trans"], r["n_users"])
+            for r in transition_counts(
+                spark.read.parquet(f"{sf_dir}/events.parquet"))
+            .collect()}
+    assert got == want
+    # exact stream-total identity: every user contributes
+    # (n_events - 1) transitions, so the matrix total is N - U —
+    # which only holds if every cross-batch boundary was counted
+    n_users = len({r["user_id"] for r in rows})
+    assert sum(v[0] for v in got.values()) == len(rows) - n_users
