@@ -2106,7 +2106,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                          (list_transform(range(1, len(ws) - 1),
                            i -> ((('0x' || substr(md5(ws[i] || ' ' ||
                                 ws[i+1] || ' ' || ws[i+2]), 1, 12))
-                                ::BIGINT) * 8192 + (8191 - (i - 1)))))
+                                ::BIGINT) * 8192 + greatest(8191 - (i - 1), 0))))
                        ELSE []::BIGINT[] END AS gk
                 FROM w
             ), s AS (
@@ -2142,7 +2142,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                          (list_transform(range(1, len(ws) - 1),
                            i -> ((('0x' || substr(md5(ws[i] || ' ' ||
                                 ws[i+1] || ' ' || ws[i+2]), 1, 12))
-                                ::BIGINT) * 8192 + (8191 - (i - 1)))))
+                                ::BIGINT) * 8192 + greatest(8191 - (i - 1), 0))))
                        ELSE []::BIGINT[] END AS gk
                 FROM w
             ), s AS (

@@ -20,14 +20,16 @@ job is a pure scan-side transform that rides the source partitioning;
 the only exchange is whatever the caller aggregates afterwards.
 
 The tie-rightmost window minimum is computed on a single packed
-integer key ``hash48 * 8192 + (8191 - pos)`` (48-bit md5-prefix
-k-gram hash, 13-bit inverted 0-based position): the numeric minimum of
-the packed key IS the (min hash, max position) pair, so
+integer key ``hash48 * 8192 + max(8191 - pos, 0)`` (48-bit md5-prefix
+k-gram hash, 13-bit inverted 0-based position, clamped): the numeric
+minimum of the packed key IS the (min hash, max position) pair, so
 ``array_min(slice(...))`` — and the DuckDB oracle's
 ``list_min(list_slice(...))`` — agree bit-for-bit using integer ops
-both engines share. The packed key stays under 2^61; positions above
-8191 would alias, so callers must cap documents at 8191 k-grams (the
-synthetic corpus is ~3 orders of magnitude below the cap).
+both engines share. The packed key stays under 2^61 at any document
+length: position bits are strictly lower-order than any hash
+difference, so the clamp past position 8191 only coarsens WHICH
+equal-hash gram wins a tie — invisible in the fingerprint set the
+operators emit (see ``packed_gram_keys``).
 
 Reference parity note: the reference engine has no winnowing operator
 (this is one of the beyond-reference training-data-pipeline ops); the
@@ -44,9 +46,20 @@ POS_MOD = 1 << POS_BITS
 
 
 def packed_gram_keys(ws_col: str, k: int) -> Column:
-    """array<long> of packed ``hash48 * 8192 + (8191 - pos)`` keys for
-    every word k-gram of a pre-split word-array column, in document
-    order (pos 0-based). Empty when there are fewer than ``k`` words."""
+    """array<long> of packed ``hash48 * 8192 + max(8191 - pos, 0)``
+    keys for every word k-gram of a pre-split word-array column, in
+    document order (pos 0-based). Empty when there are fewer than
+    ``k`` words.
+
+    The clamp makes the packed key safe at ANY document length: the
+    position bits are strictly lower-order than any hash difference,
+    so they only ever decide WHICH of several equal-hash grams is the
+    window's argmin — invisible in the fingerprint set (``div 8192``
+    recovers the hash either way). Without the clamp, positions past
+    8191 would drive the low term negative and corrupt the recovered
+    hash; with it, grams past 8191 merely lose the rightmost-tie
+    refinement (they all carry position weight 0) while the selected
+    HASHES stay exact."""
     gram = ("concat_ws(' ', "
             + ", ".join(f"element_at({ws_col}, i + {j})"
                         for j in range(k))
@@ -55,7 +68,7 @@ def packed_gram_keys(ws_col: str, k: int) -> Column:
         f"CASE WHEN size({ws_col}) >= {k} THEN "
         f"transform(sequence(1, size({ws_col}) - {k - 1}), i -> "
         f"cast(conv(substring(md5({gram}), 1, 12), 16, 10) as bigint)"
-        f" * {POS_MOD} + ({POS_MOD - 1} - (i - 1))) "
+        f" * {POS_MOD} + greatest({POS_MOD - 1} - (i - 1), 0L)) "
         "ELSE cast(array() as array<bigint>) END")
 
 

@@ -148,3 +148,20 @@ def test_candidate_pairs_corpus_sample(spark):
            for r in winnow_candidate_pairs(docs).collect()}
     # reference uses positional ids; corpus doc_ids are 0..59 ordered
     assert got == _ref_pairs(texts)
+
+
+def test_long_doc_past_position_cap_matches_reference(spark):
+    # 9,500 words: positions run well past the 8191 packed-position
+    # cap. The clamp must leave the fingerprint SET exact (position
+    # bits only resolve equal-hash ties, invisible in the set) — a
+    # cyclic vocabulary makes equal-hash grams common on both sides
+    # of the cap, and a unique tail adds never-tied grams.
+    words = [f"w{i % 50}" for i in range(9000)] + \
+            [f"u{i}" for i in range(500)]
+    text = " ".join(words)
+    got = _rows_for(spark, [text])[0]
+    ref = _ref_winnow(text)
+    assert got["n_grams"] == ref["n_grams"] == 9498
+    assert got["sketch_size"] == len(ref["sketch"])
+    assert got["min_fp"] == min(ref["sketch"])
+    assert got["max_fp"] == max(ref["sketch"])
