@@ -16,12 +16,13 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 90 — so forty entries rotate out of the driver's
+the dict holds 92 — so forty-two entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions
 ``doc_winnow_sketch``, ``embedding_kmeans``, ``doc_vocab_growth``,
 ``doc_winnow_pairs``, ``events_transitions``, ``doc_crossdup_minhash``,
-``stream_transitions``,
+``stream_transitions``, ``doc_word_freq_spectrum``,
+``events_user_trigrams``,
 ``doc_bpe_encode``, ``doc_incremental_dedup``, ``doc_length_batches``,
 ``doc_ccnet_buckets``,
 ``doc_lm_score``, ``doc_token_windows``, ``events_retention_cohorts``,
@@ -1746,6 +1747,30 @@ def doc_winnow_pairs(spark, sf_dir):
             .orderBy("doc_a", "doc_b"))
 
 
+def doc_word_freq_spectrum(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies (operators/vocab.py
+    word_freq_spectrum): distinct-word counts re-keyed by the count
+    value — the counts-of-counts table Good-Turing/Katz smoothing
+    consumes and the Zipf-tail sanity check. One word-keyed exchange;
+    the second agg's key domain is bounded by the max word frequency."""
+    from console_log_parser_spark.operators.vocab import (
+        word_freq_spectrum)
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return word_freq_spectrum(docs)
+
+
+def events_user_trigrams(spark, sf_dir):
+    """Top-20 per-user event-type trigrams (operators/transitions.py
+    user_trigrams): both lags ride ONE user-partitioned window (a
+    single hash exchange), the count agg is |types|^3-bounded, and the
+    top-k plans as TakeOrderedAndProject under the deterministic
+    (n DESC, t1, t2, t3) total order."""
+    from console_log_parser_spark.operators.transitions import (
+        user_trigrams)
+    ev = _t(spark, sf_dir, "events")
+    return user_trigrams(ev, k=20)
+
+
 def doc_crossdup_minhash(spark, sf_dir):
     """Cross-corpus NEAR-dup at ingest (operators/dedup.py
     crossdup_minhash_pairs): the doc_id % 5 == 0 batch lands against
@@ -1902,6 +1927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": events_transitions,
         "doc_crossdup_minhash": doc_crossdup_minhash,
         "stream_transitions": stream_transitions,
+        "doc_word_freq_spectrum": doc_word_freq_spectrum,
+        "events_user_trigrams": events_user_trigrams,
         "doc_bpe_encode": doc_bpe_encode,
         "doc_incremental_dedup": doc_incremental_dedup,
         "doc_length_batches": doc_length_batches,
@@ -2226,6 +2253,33 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # time-ordered stream, so it shares the batch oracle — a
         # stateful streaming query under the FULL value-hash check
         "stream_transitions": _TRANSITIONS_ORACLE,
+        "doc_word_freq_spectrum": """
+            WITH c AS (
+                SELECT w, COUNT(*) AS freq
+                FROM (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE w <> '' GROUP BY w
+            )
+            SELECT CAST(freq AS BIGINT) AS freq,
+                   COUNT(*)::BIGINT AS n_words
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "events_user_trigrams": """
+            WITH l AS (
+                SELECT user_id, event_type AS t3,
+                       lag(event_type, 1) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS t2,
+                       lag(event_type, 2) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS t1
+                FROM events
+            )
+            SELECT t1, t2, t3, COUNT(*)::BIGINT AS n
+            FROM l WHERE t1 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, t1, t2, t3 LIMIT 20
+        """,
         # learn the 6 merges via the shared CTE chain, then apply them
         # as nested scalar-subquery replaces per document word
         "doc_bpe_encode": _bpe_encode_oracle(6),

@@ -271,3 +271,23 @@ def vocab_growth(docs: DataFrame,
                     .alias("tokens_seen"),
                     "vocab_size")
             .orderBy("checkpoint"))
+
+
+def word_freq_spectrum(docs: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """Good-Turing frequency-of-frequencies: (freq, n_words) — how
+    many distinct words occur exactly ``freq`` times in the corpus.
+    The counts-of-counts table is the input to Good-Turing / Katz
+    smoothing (public LM literature) and the standard sanity check on
+    a corpus's Zipf tail.
+
+    Scale design: one word-keyed partial+final count, then a second
+    agg over the DISTINCT-WORD frame keyed by the count value — whose
+    domain is bounded by the corpus's maximum word frequency, so the
+    second exchange is trivially small at any scale."""
+    counts = (_words(docs, text_col)
+              .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    return (counts.groupBy("freq")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"))
+            .select(F.col("freq").cast("long").alias("freq"), "n_words")
+            .orderBy("freq"))

@@ -54,3 +54,24 @@ def test_corpus_events(spark):
     # transition key space is |types|^2-bounded
     types = {et for _, _, _, et in rows}
     assert len(got) <= len(types) ** 2
+
+
+def test_user_trigrams_match_reference(spark):
+    from console_log_parser_spark.operators.transitions import (
+        user_trigrams)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    rows = [(r["event_id"], r["ts"], r["user_id"], r["event_type"])
+            for r in ev.collect()]
+    per_user = defaultdict(list)
+    for eid, ts, uid, et in rows:
+        per_user[uid].append((ts, eid, et))
+    tri = Counter()
+    for evs in per_user.values():
+        evs.sort()
+        ets = [e[2] for e in evs]
+        for i in range(len(ets) - 2):
+            tri[tuple(ets[i:i + 3])] += 1
+    want = sorted(tri.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [((r["t1"], r["t2"], r["t3"]), r["n"])
+           for r in user_trigrams(ev, k=20).collect()]
+    assert got == want

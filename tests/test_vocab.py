@@ -171,3 +171,17 @@ def test_vocab_growth_corpus(spark):
     got = [(r["checkpoint"], r["tokens_seen"], r["vocab_size"])
            for r in vocab_growth(docs, checkpoints=cps).collect()]
     assert got == _growth_ref(texts, cps)
+
+
+def test_word_freq_spectrum_matches_reference(spark):
+    from console_log_parser_spark.operators.vocab import (
+        word_freq_spectrum)
+    texts = [(0, "a b c a"), (1, "b d a"), (2, ""), (3, "e a f f")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = [(r["freq"], r["n_words"])
+           for r in word_freq_spectrum(df).collect()]
+    # a:4 b:2 f:2 c:1 d:1 e:1 -> freq 1 x3, freq 2 x2, freq 4 x1
+    assert got == [(1, 3), (2, 2), (4, 1)]
+    # identity: sum(freq * n_words) == total non-empty tokens
+    total = sum(len([w for w in t.split(" ") if w]) for _, t in texts)
+    assert sum(f * n for f, n in got) == total
