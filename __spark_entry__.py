@@ -16,13 +16,13 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 92 — so forty-two entries rotate out of the driver's
+the dict holds 93 — so forty-three entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions
 ``doc_winnow_sketch``, ``embedding_kmeans``, ``doc_vocab_growth``,
 ``doc_winnow_pairs``, ``events_transitions``, ``doc_crossdup_minhash``,
 ``stream_transitions``, ``doc_word_freq_spectrum``,
-``events_user_trigrams``,
+``events_user_trigrams``, ``doc_cluster_profile``,
 ``doc_bpe_encode``, ``doc_incremental_dedup``, ``doc_length_batches``,
 ``doc_ccnet_buckets``,
 ``doc_lm_score``, ``doc_token_windows``, ``events_retention_cohorts``,
@@ -1747,6 +1747,31 @@ def doc_winnow_pairs(spark, sf_dir):
             .orderBy("doc_a", "doc_b"))
 
 
+def doc_cluster_profile(spark, sf_dir):
+    """Semantic-cluster corpus profile (operators/cluster.py
+    kmeans_assign x documents): the final k-means assignment joins
+    document metadata on doc_id == vec_id (the tables are id-aligned
+    by construction) for per-cluster curation telemetry — doc counts,
+    total chars, language diversity. The SemDeDup/DsDm-style workflow:
+    filter/sample decisions made per semantic cluster. The assignment
+    side is a map-side projection (literal centroids), so the join
+    costs one AQE-broadcast and the agg is k-bounded."""
+    from console_log_parser_spark.operators.cluster import (
+        PACK, kmeans_assign)
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang")
+    assign = kmeans_assign(emb, k=10, n_iters=2, dim=64)
+    return (assign.join(docs, assign["vec_id"] == docs["doc_id"])
+            .groupBy((F.col("comb") % PACK).cast("long")
+                     .alias("cluster_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.countDistinct("lang").cast("long").alias("n_langs"),
+                 F.min("doc_id").alias("min_doc"))
+            .orderBy("cluster_id"))
+
+
 def doc_word_freq_spectrum(spark, sf_dir):
     """Good-Turing frequency-of-frequencies (operators/vocab.py
     word_freq_spectrum): distinct-word counts re-keyed by the count
@@ -1864,11 +1889,13 @@ def _vocab_growth_oracle(cps) -> str:
 
 
 def _kmeans_oracle(k: int = 10, dim: int = 64, pack: int = 16,
-                   n_iters: int = 2) -> str:
+                   n_iters: int = 2, final_sql: str | None = None) -> str:
     """DuckDB twin of embedding_kmeans: the same quantize/assign/
     floor-div-update chain as unrolled CTEs (one assign+update pair
-    per Lloyd iteration, then the final assignment). DuckDB SUM() is
-    HUGEINT — every aggregate is cast back to BIGINT (the round-1
+    per Lloyd iteration, then the final assignment). ``final_sql``
+    overrides the per-cluster stats query over the ``af`` assignment
+    CTE (used by doc_cluster_profile's documents join). DuckDB SUM()
+    is HUGEINT — every aggregate is cast back to BIGINT (the round-1
     hash-trap rule)."""
     def assign(ctab):
         return (
@@ -1896,12 +1923,25 @@ def _kmeans_oracle(k: int = 10, dim: int = 64, pack: int = 16,
             f"ELSE -((-s + n - 1) // n) END ORDER BY i) AS c "
             f"FROM u{it} GROUP BY cid)")
     parts.append(f"af AS ({assign(f'c{n_iters}')})")
-    return (", ".join(parts)
-            + f" SELECT CAST(comb % {pack} AS BIGINT) AS cluster_id, "
-              f"COUNT(*)::BIGINT AS n_vecs, "
-              f"CAST(SUM(comb // {pack}) AS BIGINT) AS inertia, "
-              f"MIN(vec_id) AS min_vec_id "
-              f"FROM af GROUP BY 1 ORDER BY 1")
+    if final_sql is None:
+        final_sql = (
+            f" SELECT CAST(comb % {pack} AS BIGINT) AS cluster_id, "
+            f"COUNT(*)::BIGINT AS n_vecs, "
+            f"CAST(SUM(comb // {pack}) AS BIGINT) AS inertia, "
+            f"MIN(vec_id) AS min_vec_id "
+            f"FROM af GROUP BY 1 ORDER BY 1")
+    return ", ".join(parts) + final_sql
+
+
+_CLUSTER_PROFILE_FINAL = """
+    SELECT CAST(af.comb % 16 AS BIGINT) AS cluster_id,
+           COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           MIN(d.doc_id) AS min_doc
+    FROM af JOIN documents d ON d.doc_id = af.vec_id
+    GROUP BY 1 ORDER BY 1
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1929,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_transitions": stream_transitions,
         "doc_word_freq_spectrum": doc_word_freq_spectrum,
         "events_user_trigrams": events_user_trigrams,
+        "doc_cluster_profile": doc_cluster_profile,
         "doc_bpe_encode": doc_bpe_encode,
         "doc_incremental_dedup": doc_incremental_dedup,
         "doc_length_batches": doc_length_batches,
@@ -2155,6 +2196,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         """,
         # unrolled Lloyd chain, integer throughout; see _kmeans_oracle
         "embedding_kmeans": _kmeans_oracle(10, 64, 16, 2),
+        # same Lloyd chain, final joins documents on doc_id == vec_id
+        "doc_cluster_profile": _kmeans_oracle(
+            10, 64, 16, 2, final_sql=_CLUSTER_PROFILE_FINAL),
         # Heaps-law growth curve: window prefix sum + struct unnest
         "doc_vocab_growth": _vocab_growth_oracle(VOCAB_GROWTH_CPS),
         # winnow pairs: independent SELF-JOIN formulation of the

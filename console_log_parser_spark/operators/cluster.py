@@ -85,15 +85,16 @@ def _iterate_once(q: DataFrame,
         for r in rows)
 
 
-def kmeans_stats(emb: DataFrame, k: int = 10, n_iters: int = 2,
-                 dim: int = 64,
-                 vec_col: str = "embedding") -> DataFrame:
+def kmeans_assign(emb: DataFrame, k: int = 10, n_iters: int = 2,
+                  dim: int = 64,
+                  vec_col: str = "embedding") -> DataFrame:
     """Run ``n_iters`` Lloyd updates from the deterministic init
-    (centroids = the quantized vectors with vec_id 0..k-1), then a
-    final assignment; returns per-cluster
-    (cluster_id, n_vecs, inertia, min_vec_id) ordered by cluster_id.
-    ``inertia`` is the exact integer sum of squared quantized
-    distances of members to their final centroid."""
+    (centroids = the quantized vectors with vec_id 0..k-1), then
+    return the FINAL per-vector assignment as (vec_id, comb) where
+    ``comb = dist * PACK + cluster_id`` (the packed argmin key —
+    callers split it with ``% PACK`` / ``div PACK``). The assignment
+    frame is map-side (literal centroids), so downstream joins and
+    aggregations see a plain projection."""
     assert k <= PACK
     q = quantized(emb, vec_col)
     init = (q.filter(F.col("vec_id") < k)
@@ -102,8 +103,18 @@ def kmeans_stats(emb: DataFrame, k: int = 10, n_iters: int = 2,
                  for r in init]
     for _ in range(n_iters):
         centroids = _iterate_once(q, centroids, dim)
-    final = q.selectExpr(
+    return q.selectExpr(
         "vec_id", f"{_assign_comb_sql(centroids)} as comb")
+
+
+def kmeans_stats(emb: DataFrame, k: int = 10, n_iters: int = 2,
+                 dim: int = 64,
+                 vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster (cluster_id, n_vecs, inertia, min_vec_id) ordered
+    by cluster_id, from the final :func:`kmeans_assign` assignment.
+    ``inertia`` is the exact integer sum of squared quantized
+    distances of members to their final centroid."""
+    final = kmeans_assign(emb, k, n_iters, dim, vec_col)
     return (final
             .groupBy((F.col("comb") % PACK).alias("cluster_id"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),

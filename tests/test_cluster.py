@@ -72,3 +72,17 @@ def test_quantized_roundtrip(spark):
         expect = _round_half_away(
             np.array(raw[r["vec_id"]], dtype=np.float64) * 1000)
         assert list(r["q"]) == expect.tolist()
+
+
+def test_kmeans_assign_consistent_with_stats(spark):
+    from console_log_parser_spark.operators.cluster import (
+        PACK, kmeans_assign)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assign = kmeans_assign(emb, k=K, n_iters=2, dim=DIM)
+    got = {}
+    for r in assign.collect():
+        c = r["comb"] % PACK
+        n, inertia, mn = got.get(c, (0, 0, 1 << 62))
+        got[c] = (n + 1, inertia + r["comb"] // PACK,
+                  min(mn, r["vec_id"]))
+    assert got == _ref(2)
