@@ -16,13 +16,14 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 93 — so forty-three entries rotate out of the driver's
+the dict holds 94 — so forty-four entries rotate out of the driver's
 hard signal every round. The dict is therefore ordered: (1) queries
 never yet driver-recorded (the round-4 additions
 ``doc_winnow_sketch``, ``embedding_kmeans``, ``doc_vocab_growth``,
 ``doc_winnow_pairs``, ``events_transitions``, ``doc_crossdup_minhash``,
 ``stream_transitions``, ``doc_word_freq_spectrum``,
 ``events_user_trigrams``, ``doc_cluster_profile``,
+``q14_promo_effect``,
 ``doc_bpe_encode``, ``doc_incremental_dedup``, ``doc_length_batches``,
 ``doc_ccnet_buckets``,
 ``doc_lm_score``, ``doc_token_windows``, ``events_retention_cohorts``,
@@ -1747,6 +1748,27 @@ def doc_winnow_pairs(spark, sf_dir):
             .orderBy("doc_a", "doc_b"))
 
 
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): lineitem x part on the
+    part key with the part dim BROADCAST, one conditional-sum agg.
+    Exercises the part table (previously the only driver table with
+    no query) and the classic fact-to-small-dim join; round(, 2)
+    absorbs cross-engine float-summation-order noise, the q1
+    precedent."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-07-01"))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    eps = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(p),
+                    li["l_partkey"] == p["p_partkey"])
+            .agg(F.round(100 * F.sum(F.when(F.col("p_type") == "PROMO",
+                                            eps).otherwise(0.0))
+                         / F.sum(eps), 2).alias("promo_pct"),
+                 F.round(F.sum(eps), 2).alias("total_revenue"),
+                 F.count("*").alias("n_items")))
+
+
 def doc_cluster_profile(spark, sf_dir):
     """Semantic-cluster corpus profile (operators/cluster.py
     kmeans_assign x documents): the final k-means assignment joins
@@ -1970,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_word_freq_spectrum": doc_word_freq_spectrum,
         "events_user_trigrams": events_user_trigrams,
         "doc_cluster_profile": doc_cluster_profile,
+        "q14_promo_effect": q14_promo_effect,
         "doc_bpe_encode": doc_bpe_encode,
         "doc_incremental_dedup": doc_incremental_dedup,
         "doc_length_batches": doc_length_batches,
@@ -2199,6 +2222,19 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # same Lloyd chain, final joins documents on doc_id == vec_id
         "doc_cluster_profile": _kmeans_oracle(
             10, 64, 16, 2, final_sql=_CLUSTER_PROFILE_FINAL),
+        "q14_promo_effect": """
+            SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS promo_pct,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-07-01'
+        """,
         # Heaps-law growth curve: window prefix sum + struct unnest
         "doc_vocab_growth": _vocab_growth_oracle(VOCAB_GROWTH_CPS),
         # winnow pairs: independent SELF-JOIN formulation of the
