@@ -502,7 +502,11 @@ def stream_sessionize(spark, sf_dir):
     qname = f"stream_sess_{_STREAM_SEQ[0]}"
     q = jobs.run_stateful_sessionize(spark, src, f"{d}/ckpt", qname,
                                      max_files_per_trigger=1)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming drain exceeded 300s — a partial memory "
+            "sink must fail loudly, not hash-mismatch quietly")
     # update-mode memory sink: one row per (user, batch); the counters
     # are monotone, so max == final state
     return (spark.sql(f"SELECT * FROM {qname}")
@@ -541,7 +545,11 @@ def stream_funnel(spark, sf_dir):
     qname = f"stream_funnel_{_STREAM_SEQ[0]}"
     q = jobs.run_stateful_funnel(spark, src, f"{d}/ckpt", qname,
                                  max_files_per_trigger=1)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming drain exceeded 300s — a partial memory "
+            "sink must fail loudly, not hash-mismatch quietly")
     return (spark.sql(f"SELECT * FROM {qname}")
             .groupBy("user_id")
             .agg(F.max("t1_us").alias("t1_us"),
@@ -582,7 +590,11 @@ def stream_transitions(spark, sf_dir):
     qname = f"stream_transitions_{_STREAM_SEQ[0]}"
     q = jobs.run_stateful_transitions(spark, src, f"{d}/ckpt", qname,
                                       max_files_per_trigger=1)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming drain exceeded 300s — a partial memory "
+            "sink must fail loudly, not hash-mismatch quietly")
     return (spark.sql(f"SELECT * FROM {qname}")
             .groupBy("prev_type", "next_type")
             .agg(F.sum("n").cast("long").alias("n_trans"),
@@ -641,7 +653,11 @@ def stream_dedup_exact(spark, sf_dir):
     qname = f"stream_dedup_{_STREAM_SEQ[0]}"
     q = jobs.run_dedup_exact(spark, src, f"{d}/ckpt", qname,
                              max_files_per_trigger=1)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming drain exceeded 300s — a partial memory "
+            "sink must fail loudly, not hash-mismatch quietly")
     return (spark.sql(f"SELECT * FROM {qname}")
             .groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
@@ -1752,21 +1768,28 @@ def q14_promo_effect(spark, sf_dir):
     """TPC-H Q14 shape (promotion effect): lineitem x part on the
     part key with the part dim BROADCAST, one conditional-sum agg.
     Exercises the part table (previously the only driver table with
-    no query) and the classic fact-to-small-dim join; round(, 2)
-    absorbs cross-engine float-summation-order noise, the q1
-    precedent."""
+    no query). All-INTEGER verified surface: prices are exact cents
+    (round(x*100) — bit-identical per row in both engines), discounts
+    exact whole percents, so per-row revenue is cents*(100-pct) and
+    the sums are order-independent — no float summation ever reaches
+    the hash gate (the lm.py rule; q1's round(,2) floats predate it).
+    At 10^12 rows the scaled sum would need DECIMAL(38) — documented,
+    not needed at test SF."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-07-01"))
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    eps = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (li.join(F.broadcast(p),
-                    li["l_partkey"] == p["p_partkey"])
-            .agg(F.round(100 * F.sum(F.when(F.col("p_type") == "PROMO",
-                                            eps).otherwise(0.0))
-                         / F.sum(eps), 2).alias("promo_pct"),
-                 F.round(F.sum(eps), 2).alias("total_revenue"),
-                 F.count("*").alias("n_items")))
+    joined = (li.join(F.broadcast(p),
+                      li["l_partkey"] == p["p_partkey"])
+              .select("p_type", F.expr(
+                  "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+                  "(100 - CAST(round(l_discount * 100) AS BIGINT))")
+                  .alias("eps")))
+    return joined.selectExpr(
+        "CAST(10000 * sum(CASE WHEN p_type = 'PROMO' THEN eps "
+        "ELSE 0L END) DIV sum(eps) AS BIGINT) AS promo_bp",
+        "CAST(sum(eps) DIV 100 AS BIGINT) AS revenue_cents",
+        "count(*) AS n_items")
 
 
 def doc_cluster_profile(spark, sf_dir):
@@ -1855,6 +1878,36 @@ def events_transitions(spark, sf_dir):
             .orderBy("prev_type", "next_type"))
 
 
+# Shared winnowing CTE prefix (k=3, w=4): packed key hash48*8192 +
+# greatest(8191 - pos, 0) — list_min(list_slice) mirrors the engine's
+# array_min(slice); DuckDB list_slice is 1-based INCLUSIVE so
+# [i, i+3] is the 4-hash window, and range(a, b) excludes b. One
+# source of truth so the sketch and pairs oracles can never drift.
+_WINNOW_CTES = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents
+    ), g AS (
+        SELECT doc_id, len(ws)::BIGINT AS n_words,
+               CASE WHEN len(ws) >= 3 THEN
+                 (list_transform(range(1, len(ws) - 1),
+                   i -> ((('0x' || substr(md5(ws[i] || ' ' ||
+                        ws[i+1] || ' ' || ws[i+2]), 1, 12))
+                        ::BIGINT) * 8192
+                        + greatest(8191 - (i - 1), 0))))
+               ELSE []::BIGINT[] END AS gk
+        FROM w
+    ), s AS (
+        SELECT doc_id, n_words, len(gk)::BIGINT AS n_grams,
+               CASE WHEN len(gk) = 0 THEN []::BIGINT[]
+               ELSE (list_distinct(list_transform(
+                   range(1, greatest(len(gk) - 3, 1) + 1),
+                   i -> (list_min(list_slice(gk, i, i + 3))
+                         // 8192)))) END AS fps
+        FROM g
+    )
+"""
+
 _TRANSITIONS_ORACLE = """
     WITH l AS (
         SELECT user_id, event_type,
@@ -1899,14 +1952,13 @@ def _vocab_growth_oracle(cps) -> str:
                     i -> {{'g': off + i - 1, 'w': ws[i]}})) AS u
                 FROM c),
         f AS (SELECT u.w AS w, CAST(MIN(u.g) AS BIGINT) AS first_idx
-              FROM tok WHERE u.w <> '' GROUP BY 1),
-        tot AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS n_total FROM d)
+              FROM tok WHERE u.w <> '' GROUP BY 1)
         SELECT CAST(cp AS BIGINT) AS checkpoint,
-               CAST(least(cp, tot.n_total) AS BIGINT) AS tokens_seen,
-               CAST(SUM(CASE WHEN f.first_idx < cp THEN 1 ELSE 0 END)
-                    AS BIGINT) AS vocab_size
-        FROM (VALUES {vals}) cps(cp) CROSS JOIN f CROSS JOIN tot
-        GROUP BY cp, tot.n_total ORDER BY checkpoint
+               CAST(least(cp, (SELECT CAST(SUM(len(ws)) AS BIGINT)
+                               FROM d)) AS BIGINT) AS tokens_seen,
+               (SELECT COUNT(*) FROM f WHERE f.first_idx < cp)
+                   AS vocab_size
+        FROM (VALUES {vals}) cps(cp) ORDER BY checkpoint
     """
 
 
@@ -2184,31 +2236,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     from console_log_parser_spark.operators import multimodal, similarity
     return {
         # winnowing sketch: identical packed-integer window-min math —
-        # hash48*8192 + (8191 - pos) — list_min(list_slice) mirrors
-        # array_min(slice); DuckDB list_slice is 1-based INCLUSIVE so
-        # [i, i+3] is the 4-hash window, and range(a, b) excludes b
-        "doc_winnow_sketch": """
-            WITH w AS (
-                SELECT doc_id, string_split(text, ' ') AS ws
-                FROM documents
-            ), g AS (
-                SELECT doc_id, len(ws)::BIGINT AS n_words,
-                       CASE WHEN len(ws) >= 3 THEN
-                         (list_transform(range(1, len(ws) - 1),
-                           i -> ((('0x' || substr(md5(ws[i] || ' ' ||
-                                ws[i+1] || ' ' || ws[i+2]), 1, 12))
-                                ::BIGINT) * 8192 + greatest(8191 - (i - 1), 0))))
-                       ELSE []::BIGINT[] END AS gk
-                FROM w
-            ), s AS (
-                SELECT doc_id, n_words, len(gk)::BIGINT AS n_grams,
-                       CASE WHEN len(gk) = 0 THEN []::BIGINT[]
-                       ELSE (list_distinct(list_transform(
-                           range(1, greatest(len(gk) - 3, 1) + 1),
-                           i -> (list_min(list_slice(gk, i, i + 3))
-                                 // 8192)))) END AS fps
-                FROM g
-            )
+        # hash48*8192 + clamped inverted pos — shared CTE prefix in
+        # _WINNOW_CTES (one source of truth for the packing/clamp/
+        # window convention, the _bpe_learn_ctes/_kmeans_oracle rule)
+        "doc_winnow_sketch": _WINNOW_CTES + """
             SELECT doc_id, n_words, n_grams,
                    len(fps)::BIGINT AS sketch_size,
                    CASE WHEN len(fps) = 0 THEN NULL
@@ -2222,45 +2253,32 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # same Lloyd chain, final joins documents on doc_id == vec_id
         "doc_cluster_profile": _kmeans_oracle(
             10, 64, 16, 2, final_sql=_CLUSTER_PROFILE_FINAL),
+        # integer-cent arithmetic end to end — no float sum reaches
+        # the hash gate; DuckDB // == Spark DIV on these non-negatives
         "q14_promo_effect": """
-            SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
-                         THEN l_extendedprice * (1 - l_discount)
-                         ELSE 0 END)
-                   / sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS promo_pct,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS total_revenue,
+            WITH j AS (
+                SELECT p_type,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) *
+                       (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS eps
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-07-01'
+            )
+            SELECT CAST(10000 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN eps ELSE 0 END) // sum(eps)
+                        AS BIGINT) AS promo_bp,
+                   CAST(sum(eps) // 100 AS BIGINT) AS revenue_cents,
                    count(*) AS n_items
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1996-07-01'
+            FROM j
         """,
         # Heaps-law growth curve: window prefix sum + struct unnest
         "doc_vocab_growth": _vocab_growth_oracle(VOCAB_GROWTH_CPS),
         # winnow pairs: independent SELF-JOIN formulation of the
-        # bucket-expansion semantics (df-capped, >= 2 shared fps)
-        "doc_winnow_pairs": """
-            WITH w AS (
-                SELECT doc_id, string_split(text, ' ') AS ws
-                FROM documents
-            ), g AS (
-                SELECT doc_id,
-                       CASE WHEN len(ws) >= 3 THEN
-                         (list_transform(range(1, len(ws) - 1),
-                           i -> ((('0x' || substr(md5(ws[i] || ' ' ||
-                                ws[i+1] || ' ' || ws[i+2]), 1, 12))
-                                ::BIGINT) * 8192 + greatest(8191 - (i - 1), 0))))
-                       ELSE []::BIGINT[] END AS gk
-                FROM w
-            ), s AS (
-                SELECT doc_id,
-                       CASE WHEN len(gk) = 0 THEN []::BIGINT[]
-                       ELSE (list_distinct(list_transform(
-                           range(1, greatest(len(gk) - 3, 1) + 1),
-                           i -> (list_min(list_slice(gk, i, i + 3))
-                                 // 8192)))) END AS fps
-                FROM g
-            ), e AS (
+        # bucket-expansion semantics (df-capped, >= 2 shared fps);
+        # same shared CTE prefix as the sketch oracle
+        "doc_winnow_pairs": _WINNOW_CTES + """
+            , e AS (
                 SELECT doc_id, unnest(fps) AS fp FROM s
             ), hot AS (
                 SELECT fp FROM e GROUP BY fp

@@ -251,6 +251,10 @@ def main():
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
+        # provenance: a pipeline-only total is NOT comparable to a
+        # full-headline total — stamp the mode so archived bench JSON
+        # is mechanically distinguishable (the gate_instrument rule)
+        "pipeline_only": bool(os.environ.get("SPARK_GRAFT_PIPELINE_ONLY")),
         "queries": timings,
         "sf": sf,
         "cpus": int(cpus),

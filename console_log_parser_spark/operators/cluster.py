@@ -99,6 +99,11 @@ def kmeans_assign(emb: DataFrame, k: int = 10, n_iters: int = 2,
     q = quantized(emb, vec_col)
     init = (q.filter(F.col("vec_id") < k)
              .orderBy("vec_id").collect())  # bounded: k rows
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans seeds require vec_ids 0..{k - 1} present; got "
+            f"{len(init)} of {k} — a filtered/offset id space would "
+            "silently shrink the centroid set")
     centroids = [(int(r["vec_id"]), [int(v) for v in r["q"]])
                  for r in init]
     for _ in range(n_iters):

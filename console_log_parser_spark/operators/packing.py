@@ -114,18 +114,30 @@ def grouped_rank(df: DataFrame, group_col: str, order_cols: list[str],
     totals = ranged.groupBy("_pid", group_col).agg(
         F.count(F.lit(1)).alias("_pc"))
     x, y = totals.alias("x"), totals.alias("y")
+    # NULL-SAFE group equality throughout: Window.partitionBy treats
+    # NULL as one group, so the offset joins must too — with plain
+    # equality a NULL group spanning several range partitions would
+    # never receive its offsets and ranks would restart per partition
     offs = (x.join(F.broadcast(y),
-                   (F.col(f"y.{group_col}") == F.col(f"x.{group_col}"))
+                   F.col(f"y.{group_col}").eqNullSafe(
+                       F.col(f"x.{group_col}"))
                    & (F.col("y._pid") < F.col("x._pid")))
             .groupBy(F.col("x._pid").alias("_pid"),
                      F.col(f"x.{group_col}").alias(group_col))
             .agg(F.sum("y._pc").alias("_off")))
-    return (local.join(F.broadcast(offs), ["_pid", group_col], "left")
+    o = offs.select(F.col("_pid").alias("_opid"),
+                    F.col(group_col).alias("_ogrp"),
+                    "_off")
+    return (local.join(
+                F.broadcast(o),
+                (F.col("_pid") == F.col("_opid"))
+                & F.col(group_col).eqNullSafe(F.col("_ogrp")),
+                "left")
             .withColumn(out_col,
                         (F.col("_lrn")
                          + F.coalesce(F.col("_off"), F.lit(0)))
                         .cast("long"))
-            .drop("_pid", "_lrn", "_off"))
+            .drop("_pid", "_lrn", "_off", "_opid", "_ogrp"))
 
 
 def length_bucket_batches(docs: DataFrame, bucket_width: int = 64,

@@ -253,8 +253,13 @@ def vocab_growth(docs: DataFrame,
             .filter(F.col("w") != "")
             .select((F.col("off") + F.col("pos")).alias("gidx"), "w"))
     first = toks.groupBy("w").agg(F.min("gidx").alias("first_idx"))
+    # coalesce: an all-empty corpus leaves `first` with zero rows, and
+    # an ungrouped sum over zero rows is NULL — the curve must read 0
+    # there (matching the oracle's scalar-subquery COUNTs)
     row = first.agg(*[
-        F.sum(F.when(F.col("first_idx") < cp, 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("first_idx") < cp, 1).otherwise(0)),
+            F.lit(0))
         .cast("long").alias(f"v{cp}") for cp in checkpoints])
     # total stream length is a plain sum over per-doc counts — taking
     # max(w_end) instead would duplicate the whole prefix-sum subtree

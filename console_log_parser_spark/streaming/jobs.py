@@ -304,19 +304,26 @@ def _transitions_fn(key: tuple, pdf_iter: "Iterator[pd.DataFrame]",
         yield empty
         return
     pdf = pd.concat(pdfs).sort_values(["ts", "event_id"])
-    et = pdf["event_type"].to_numpy()
-    prev = list(et[:-1])
-    nxt = list(et[1:])
+    et = [None if pd.isna(v) else str(v)
+          for v in pdf["event_type"].tolist()]
+    prev = et[:-1]
+    nxt = et[1:]
     if last is not None:
-        prev.insert(0, last[2])
-        nxt.insert(0, et[0])
+        prev = [last[2]] + prev
+        nxt = [et[0]] + nxt
     ts_us = int(pdf["ts"].iloc[-1].value // 1000)
-    state.update((ts_us, int(pdf["event_id"].iloc[-1]), str(et[-1])))
-    if not prev:
+    state.update((ts_us, int(pdf["event_id"].iloc[-1]), et[-1]))
+    # mirror the batch twin exactly (transitions.py): transitions FROM
+    # a NULL-typed event are dropped (lag IS NULL is indistinguishable
+    # from stream start there), transitions TO one are kept — and
+    # pandas groupby must not silently drop None keys (dropna)
+    kept = [(a, b) for a, b in zip(prev, nxt) if a is not None]
+    if not kept:
         yield empty
         return
-    cnt = (pd.DataFrame({"prev_type": prev, "next_type": nxt})
-           .groupby(["prev_type", "next_type"]).size().reset_index())
+    cnt = (pd.DataFrame(kept, columns=["prev_type", "next_type"])
+           .groupby(["prev_type", "next_type"], dropna=False)
+           .size().reset_index())
     cnt.columns = ["prev_type", "next_type", "n"]
     cnt.insert(0, "user_id", key[0])
     yield cnt

@@ -145,3 +145,21 @@ def test_length_batches_no_unpartitioned_window(spark):
                                 bucket_width=8, batch_size=4,
                                 n_col="n_chars", num_partitions=4)
     assert not _has_unpartitioned_window(out)
+
+
+def test_grouped_rank_null_group_spanning_partitions(spark):
+    # Window.partitionBy treats NULL as one group; the offset joins
+    # must be null-safe or the NULL group's ranks restart in every
+    # range partition it spans (found in the round-4 self-review)
+    from console_log_parser_spark.operators.packing import grouped_rank
+    rows = [(i, None if i % 2 == 0 else "g") for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, grp string")
+    out = grouped_rank(df, "grp", ["k"], "rnk", num_partitions=8)
+    for pred, n in (("grp IS NULL", 100), ("grp = 'g'", 100)):
+        ranks = sorted(r["rnk"] for r in out.filter(pred).collect())
+        assert ranks == list(range(1, n + 1)), pred
+    # and rank order follows k within each group
+    null_rows = {r["k"]: r["rnk"]
+                 for r in out.filter("grp IS NULL").collect()}
+    ks = sorted(null_rows)
+    assert [null_rows[k] for k in ks] == list(range(1, 101))

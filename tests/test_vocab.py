@@ -185,3 +185,15 @@ def test_word_freq_spectrum_matches_reference(spark):
     # identity: sum(freq * n_words) == total non-empty tokens
     total = sum(len([w for w in t.split(" ") if w]) for _, t in texts)
     assert sum(f * n for f, n in got) == total
+
+
+def test_vocab_growth_degenerate_all_empty_corpus(spark):
+    # every text empty: split('') slots fill the stream but the
+    # vocabulary is empty — the curve must read 0 (engine coalesces
+    # the over-zero-rows sums; oracle uses scalar-subquery COUNTs)
+    from console_log_parser_spark.operators.vocab import vocab_growth
+    df = spark.createDataFrame([(0, ""), (1, "")],
+                               "doc_id long, text string")
+    got = [(r["checkpoint"], r["tokens_seen"], r["vocab_size"])
+           for r in vocab_growth(df, checkpoints=(1, 4)).collect()]
+    assert got == [(1, 1, 0), (4, 2, 0)]
