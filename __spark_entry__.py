@@ -3777,8 +3777,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(length(string_split(text, ' ')))
                         AS BIGINT) AS n_words,
-                   CAST(sum(('0x' || substring(md5(text), 1, 12))::BIGINT)
-                        AS BIGINT) AS content_sum
+                   CAST(bit_xor(('0x' || substring(md5(text), 1, 12))
+                                ::BIGINT)
+                        AS BIGINT) AS content_xor
             FROM s GROUP BY shard ORDER BY shard
         """,
         "doc_span_dedup": """

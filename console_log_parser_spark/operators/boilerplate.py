@@ -53,8 +53,8 @@ def doc_gram_hashes(docs: DataFrame, n: int, id_col: str = "doc_id",
             .agg(F.count("*").alias("occ")))
 
 
-def boilerplate_grams(per_doc_gram: DataFrame, min_docs: int,
-                      id_col: str = "doc_id") -> DataFrame:
+def boilerplate_grams(per_doc_gram: DataFrame,
+                      min_docs: int) -> DataFrame:
     """``(gh, n_docs)`` for every gram hash present in at least
     ``min_docs`` distinct documents. Input rows are unique per
     (document, gram), so a plain ``count(*)`` per hash IS the
@@ -76,7 +76,7 @@ def boilerplate_stats(docs: DataFrame, n: int = 5, min_docs: int = 2,
     Documents with fewer than ``n`` words produce no grams and are
     absent from the result, matching the oracle."""
     pdg = doc_gram_hashes(docs, n, id_col, text_col).persist()
-    boiler = boilerplate_grams(pdg, min_docs, id_col)
+    boiler = boilerplate_grams(pdg, min_docs)
     totals = (pdg.groupBy(id_col)
               .agg(F.sum("occ").alias("n_gram_occ"),
                    F.count("*").alias("n_distinct_grams")))

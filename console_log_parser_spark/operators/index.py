@@ -89,8 +89,18 @@ def build_postings(df: DataFrame, max_df: int,
     hot = freqs.filter(F.col("df_docs") > max_df)
     cold = freqs.filter(F.col("df_docs") <= max_df)
     stream = _term_stream(df, text_col, doc_col)
+    # the HOT set is the broadcast side (module contract): it is
+    # bounded by |corpus postings| / max_df by construction, while
+    # the cold set is ~the whole vocabulary tail — force-broadcasting
+    # THAT would hit the broadcast-relation limit at exactly the
+    # web-corpus scale this module targets. Hot terms leave via a
+    # broadcast ANTI join; the df_docs lookup for survivors joins
+    # cold WITHOUT a hint (AQE broadcasts it at test scale, shuffles
+    # at vocabulary scale — both correct).
     postings = (stream
-                .join(F.broadcast(cold), "term")
+                .join(F.broadcast(hot.select("term")), "term",
+                      "left_anti")
+                .join(cold, "term")
                 .groupBy("term")
                 .agg(F.max("df_docs").alias("df_docs"),
                      F.sort_array(F.collect_list(doc_col))

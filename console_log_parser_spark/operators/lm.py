@@ -71,11 +71,14 @@ def bigram_stream(docs: DataFrame, id_col: str = "doc_id",
 
 
 def bigram_counts(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  _stream: DataFrame | None = None) -> DataFrame:
     """(bigram, c): corpus-wide occurrence counts — partial+final hash
-    aggregation, nothing skew-sized shuffles."""
-    return (bigram_stream(docs, id_col, text_col)
-            .groupBy("bigram").agg(F.count("*").alias("c")))
+    aggregation, nothing skew-sized shuffles. ``_stream`` lets a
+    caller share an already-built (persisted) bigram stream."""
+    base = _stream if _stream is not None \
+        else bigram_stream(docs, id_col, text_col)
+    return base.groupBy("bigram").agg(F.count("*").alias("c"))
 
 
 def lm_bits_per_doc(docs: DataFrame, hot_df: int = DEFAULT_HOT_DF,
@@ -89,8 +92,12 @@ def lm_bits_per_doc(docs: DataFrame, hot_df: int = DEFAULT_HOT_DF,
     ``bits = length(bin(c)) - 1`` is floor(log2 c) computed without
     ever touching a float (``bin`` is the binary digit string), so the
     DuckDB twin (``length(format('{:b}', c)) - 1``) agrees exactly."""
-    stream = bigram_stream(docs, id_col, text_col)
-    freqs = bigram_counts(docs, id_col, text_col)
+    # the stream feeds THREE consumers (frequency counts, the hot
+    # probe, the cold probe) — persist it so the corpus-wide explode
+    # runs once, with the simhash/minhash lifecycle (materialize the
+    # bounded per-doc output, then release)
+    stream = bigram_stream(docs, id_col, text_col).persist()
+    freqs = bigram_counts(docs, id_col, text_col, _stream=stream)
     hot = freqs.filter(F.col("c") > hot_df)
     cold = freqs.filter(F.col("c") <= hot_df)
     # Zipf head map-side (broadcast, bounded by total/hot_df); only the
@@ -102,11 +109,14 @@ def lm_bits_per_doc(docs: DataFrame, hot_df: int = DEFAULT_HOT_DF,
                    .join(cold, "bigram"))
     scored = scored_hot.unionByName(scored_cold)
     bits = F.expr("length(bin(c)) - 1")
-    return (scored.groupBy(id_col)
-            .agg(F.count("*").alias("n_bigrams"),
-                 F.sum(bits).alias("sum_bits"))
-            .withColumn("avg_bits_x100",
-                        F.expr("(sum_bits * 100) div n_bigrams")))
+    out = (scored.groupBy(id_col)
+           .agg(F.count("*").alias("n_bigrams"),
+                F.sum(bits).alias("sum_bits"))
+           .withColumn("avg_bits_x100",
+                       F.expr("(sum_bits * 100) div n_bigrams")))
+    from console_log_parser_spark.operators.dedup import \
+        _materialize_and_release
+    return _materialize_and_release(out, stream)
 
 
 def quality_buckets(scored: DataFrame,

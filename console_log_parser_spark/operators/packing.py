@@ -43,7 +43,20 @@ def global_prefix_sum(df: DataFrame, order_cols: list[str],
               .withColumn("_pid", F.spark_partition_id()))
     in_part = Window.partitionBy("_pid").orderBy(*order_cols)
     local = ranged.withColumn("_cum", F.sum(value_col).over(in_part))
-    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
+    # per-partition totals come FROM the windowed frame (the last
+    # in-order row's inclusive sum), not from a second aggregation
+    # over `ranged`: every consumer then sits above the ONE range
+    # exchange, so the _pid a row carries is consistent as long as
+    # the exchange's map outputs are materialized once (Spark's
+    # exchange reuse — both subtrees are built from the same object).
+    # The residual hazard (full stage loss + re-sampled range
+    # boundaries mid-query) applies to any repartitionByRange
+    # consumer and is accepted corpus-wide.
+    totals = (local.groupBy("_pid")
+              .agg(F.max(F.struct(
+                  *[F.col(c) for c in order_cols],
+                  F.col("_cum").alias("_c"))).getField("_c")
+                  .alias("_psum")))
     offs = (totals.select(F.col("_pid").alias("_xpid"))
             .join(F.broadcast(totals.select(
                 F.col("_pid").alias("_ypid"), "_psum")),
@@ -111,8 +124,11 @@ def grouped_rank(df: DataFrame, group_col: str, order_cols: list[str],
               .withColumn("_pid", F.spark_partition_id()))
     in_part = Window.partitionBy("_pid", group_col).orderBy(*order_cols)
     local = ranged.withColumn("_lrn", F.row_number().over(in_part))
-    totals = ranged.groupBy("_pid", group_col).agg(
-        F.count(F.lit(1)).alias("_pc"))
+    # per-(partition, group) counts from the windowed frame itself
+    # (max row_number IS the count) — same single-exchange-lineage
+    # rationale as global_prefix_sum's totals
+    totals = local.groupBy("_pid", group_col).agg(
+        F.max("_lrn").alias("_pc"))
     x, y = totals.alias("x"), totals.alias("y")
     # NULL-SAFE group equality throughout: Window.partitionBy treats
     # NULL as one group, so the offset joins must too — with plain

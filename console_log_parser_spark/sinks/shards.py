@@ -16,10 +16,12 @@ and the manifest can be recomputed by any engine from the same bytes
 (the ``bucket_bp`` portability argument, ``operators/sampling.py``).
 
 The manifest carries, per shard: document count, word count, and an
-ORDER-INVARIANT content checksum (the sum of each document's 48-bit
-md5 prefix — commutative, so file order and task scheduling cannot
-change it; 48 bits keeps the BIGINT sum far from overflow at any
-realistic shard size, ~2^14 docs/shard would need 2^62).
+ORDER-INVARIANT content checksum (the bitwise XOR of each
+document's 48-bit md5 prefix — commutative AND overflow-free at any
+shard cardinality; a SUM checksum would wrap BIGINT past ~2^16
+docs/shard, silently in Spark and loudly in a DuckDB HUGEINT auditor,
+breaking the any-engine-recomputes attestation at exactly the
+100-TB scale it exists for).
 
 Scale design (100 TB): shard assignment is map-side; the write is ONE
 exchange keyed by the shard id (``repartition(n, shard)`` before
@@ -44,7 +46,7 @@ def shard_of(col, n_shards: int, salt: str = "shard42") -> Column:
 
 def content_key(text_col) -> Column:
     """48-bit md5 prefix of a text column as a long — the commutative
-    checksum term."""
+    XOR-checksum term."""
     return F.conv(F.substring(F.md5(text_col), 1, 12), 16, 10) \
         .cast("long")
 
@@ -58,7 +60,7 @@ def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
 def shard_manifest(df: DataFrame, n_shards: int, id_col: str = "doc_id",
                    text_col: str = "text",
                    salt: str = "shard42") -> DataFrame:
-    """(shard, n_docs, n_words, content_sum) for the corpus as it
+    """(shard, n_docs, n_words, content_xor) for the corpus as it
     would be sharded — recomputable from the written files (or by the
     DuckDB oracle) because every term is a pure function of row
     bytes."""
@@ -67,8 +69,8 @@ def shard_manifest(df: DataFrame, n_shards: int, id_col: str = "doc_id",
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.sum(F.size(F.split(F.col(text_col), " ")))
                  .cast("long").alias("n_words"),
-                 F.sum(content_key(F.col(text_col)))
-                 .cast("long").alias("content_sum"))
+                 F.bit_xor(content_key(F.col(text_col)))
+                 .cast("long").alias("content_xor"))
             .orderBy("shard"))
 
 
@@ -91,6 +93,6 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.sum(F.size(F.split(F.col(text_col), " ")))
                  .cast("long").alias("n_words"),
-                 F.sum(content_key(F.col(text_col)))
-                 .cast("long").alias("content_sum"))
+                 F.bit_xor(content_key(F.col(text_col)))
+                 .cast("long").alias("content_xor"))
             .orderBy("shard"))

@@ -99,12 +99,15 @@ def _sessionize_fn(key: tuple, pdf_iter: Iterator[pd.DataFrame],
 
     last_ts, n_sessions, n_events = (
         state.get if state.exists else (None, 0, 0))
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # a key's batch may arrive as several Arrow chunks with no order
+    # across them — gap detection over per-chunk sorts would miscount
+    # sessions at chunk seams, so concat and sort ONCE (per-user
+    # batches are bounded, the arrival contract)
+    pdfs = [p for p in pdf_iter if len(p)]
+    if pdfs:
+        pdf = pd.concat(pdfs).sort_values(["ts", "event_id"])
         # pandas datetime64[ns] -> microseconds since epoch
         ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
-        if len(ts_us) == 0:
-            continue
         # vectorized fold: new sessions inside the batch are the
         # sorted gaps > GAP; the carried-state boundary adds one more
         # when the batch's first event opens a session. No per-event
@@ -170,14 +173,19 @@ def _funnel_fn(key: tuple, pdf_iter: Iterator[pd.DataFrame],
     click in one batch) resolve exactly like the batch operator.
     Assumes time-ordered arrival across batches (same contract as
     the sessionizer); late cross-batch stragglers need the batch
-    operator over a corrected replay."""
-    import numpy as np
+    operator over a corrected replay.
+
+    A key's batch may arrive as SEVERAL Arrow chunks with no order
+    across them, and the set-once gates must see the whole batch at
+    once (a later chunk can hold an earlier view whose first-touch
+    time unlocks a click the per-chunk gate already rejected) — so
+    chunks are concatenated and sorted ONCE before the stage loop
+    (per-user batches are bounded, the sessionizer contract)."""
 
     t = list(state.get) if state.exists else [None] * len(FUNNEL_STAGES)
-    for pdf in pdf_iter:
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values(["ts", "event_id"])
+    pdfs = [p for p in pdf_iter if len(p)]
+    if pdfs:
+        pdf = pd.concat(pdfs).sort_values(["ts", "event_id"])
         ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
         et = pdf["event_type"].to_numpy()
         for i, stage in enumerate(FUNNEL_STAGES):

@@ -194,7 +194,8 @@ def render_readme_claim():
     if not valid:
         return
     all_vals = [h["value"] for _, h in valid]
-    p2_vals = [h["value"] for i, h in valid if _row_protocol(h, i) == PROTOCOL]
+    p2_vals = [h["value"] for i, h in valid
+               if _row_protocol(h, i) == PROTOCOL] or all_vals
     gen_vals = [h["value"] for _, h in valid if h.get("git_rev")]
     best = max((h for _, h in valid), key=lambda h: h["value"])
     block = (
@@ -228,10 +229,14 @@ def render_readme_claim():
 def _render_readme_claim_safe():
     """Never let front-page rendering kill a completed (expensive)
     harness run — the ledger row and BENCH/BASELINE.md are already
-    written by the time this runs."""
+    written by the time this runs. Catch EVERYTHING: a data-shaped
+    failure (e.g. _median of an empty per-protocol list on a ledger
+    with no valid rows of that protocol) is just as fatal to the
+    run's summary line as an OSError, and the watcher discards runs
+    whose last stdout line isn't the summary JSON."""
     try:
         render_readme_claim()
-    except OSError:
+    except Exception:
         pass
 
 
