@@ -31,7 +31,7 @@ def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def ensure_tokens_table(spark, sf_dir: str) -> str:
+def ensure_tokens_table(spark, sf_dir: str, amplify: int | None = None) -> str:
     """Materialize the tokenized-log input table ONCE (untimed setup).
 
     The job under test is the real engine shape — scan an existing
@@ -45,6 +45,8 @@ def ensure_tokens_table(spark, sf_dir: str) -> str:
     """
     import hashlib
     import shutil
+
+    amplify = AMPLIFY if amplify is None else int(amplify)
 
     from console_log_parser_spark import datagen
     from console_log_parser_spark.operators import parse as parse_mod
@@ -66,7 +68,7 @@ def ensure_tokens_table(spark, sf_dir: str) -> str:
     # ~4 KiB of int32 tokens per synthesized doc; prefer RAM-backed
     # /dev/shm but fall back to disk when the estimate would eat more
     # than half the free tmpfs (RAM exhaustion kills the whole bench)
-    est_bytes = n_docs * AMPLIFY * 6000
+    est_bytes = n_docs * amplify * 6000
     base = os.environ.get("SPARK_GRAFT_TOKENS_DIR")
     if base is None:
         base = tempfile.gettempdir()
@@ -83,12 +85,12 @@ def ensure_tokens_table(spark, sf_dir: str) -> str:
     # an input artifact). 96 = 3 waves on the widest (32-core) level.
     n_parts = int(os.environ.get("SPARK_GRAFT_TOKENS_PARTS", "96"))
     out = os.path.join(
-        base, f"bench_tokens_{sf_tag}_x{AMPLIFY}_s42_p{n_parts}_{tag}")
+        base, f"bench_tokens_{sf_tag}_x{amplify}_s42_p{n_parts}_{tag}")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     ids = (docs.select(F.col("doc_id").cast("long").alias("base_id"))
-           .crossJoin(spark.range(AMPLIFY).withColumnRenamed("id", "k"))
-           .select((F.col("base_id") * AMPLIFY + F.col("k"))
+           .crossJoin(spark.range(amplify).withColumnRenamed("id", "k"))
+           .select((F.col("base_id") * amplify + F.col("k"))
                    .alias("doc_id_num"))
            .repartition(n_parts))
     tmp = out + f".tmp{os.getpid()}"
@@ -149,6 +151,136 @@ def pipeline_job(spark, sf_dir, tokens_path=None):
     return int(m["rows"]), int(m["tokens"])
 
 
+def _med(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def marginal_estimate(counts_small, counts_big, t_small, t_big):
+    """Pure protocol-3 arithmetic (unit-tested): marginal rate between
+    two (docs, tokens) measurement points, with a degeneracy guard.
+
+    The time difference must be a real measurement, not noise: require
+    it to be at least 25% of the big run (at the designed 20/80
+    amplify pair the true value is ~65-70%). A degenerate pair falls
+    back to the pointwise big rate with ok=False — the scaling harness
+    auto-invalidates the ledger row on that flag."""
+    d_docs = counts_big[0] - counts_small[0]
+    d_tok = counts_big[1] - counts_small[1]
+    dt = t_big - t_small
+    ok = dt > 0.25 * t_big
+    if ok:
+        rate, tok_rate = d_docs / dt, d_tok / dt
+        fixed = t_small - counts_small[0] / rate
+    else:
+        rate = counts_big[0] / t_big
+        tok_rate = counts_big[1] / t_big
+        fixed = None
+    return {"seq_per_sec": rate, "tok_per_sec": tok_rate, "ok": ok,
+            "fixed_cost_sec": fixed}
+
+
+def marginal_pipeline_bench(spark, sf_dir, cpus):
+    """Protocol-3 steady-state throughput: TWO-POINT MARGINAL estimator.
+
+    Times the identical prebuilt pipeline plan over two input sizes in
+    the same process (AMPLIFY=small and AMPLIFY=big, interleaved
+    S-B-S-B so window drift cancels) and reports
+
+        rate = (docs_big - docs_small) / (t_big - t_small)
+
+    Why: each bench job carries a scale-invariant fixed cost — Catalyst
+    optimization + physical planning of the action, task scheduling,
+    the noop commit — measured at 1.5 s (32 cores) / 2.3 s (8 cores)
+    by a same-process ABAB A/B (tools/probe_amplify.py, round 5). At
+    the north rule's 10^12-sequence scale a job runs hours and that
+    cost is ~0% of wall-clock; at bench scale (4-35 s jobs) it taxes
+    the 4N level 4x as hard relatively and suppresses the measured
+    8->32 efficiency by ~0.15 even though the per-executor work scales
+    cleanly. The two-point difference cancels exactly that constant —
+    the same subtraction a STREAM bandwidth fit does for loop overhead
+    — while keeping every marginal byte of scan/parse/shuffle/agg in
+    the measurement. Both single-point rates are reported alongside;
+    ``marginal_ok`` is false (and the scaling harness auto-invalidates
+    the row) if the time difference is too small to carry a claim.
+    """
+    a_small = int(os.environ.get("SPARK_GRAFT_AMPLIFY_SMALL", "20"))
+    a_big = AMPLIFY
+    if a_big <= a_small:
+        raise SystemExit(
+            f"marginal mode needs AMPLIFY ({a_big}) > AMPLIFY_SMALL "
+            f"({a_small})")
+    path_s = ensure_tokens_table(spark, sf_dir, a_small)
+    path_b = ensure_tokens_table(spark, sf_dir, a_big)
+    # split sized for the BIG table; the small table's files are ~4x
+    # smaller than the big table's, and both stay below the split +
+    # openCost packing threshold, so each parquet file (= one row
+    # group, the unsplittable unit) gets its own partition at either
+    # size: identical 96-way scan parallelism for both points.
+    tbl_bytes = sum(
+        os.path.getsize(os.path.join(path_b, f))
+        for f in os.listdir(path_b) if f.endswith(".parquet"))
+    split = min(max(tbl_bytes // (int(cpus) * 3), 1 << 20), 128 << 20)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    aggs_s, routed_s = build_pipeline(spark, sf_dir, path_s)
+    aggs_b, routed_b = build_pipeline(spark, sf_dir, path_b)
+    counts = {}
+    for key, routed in (("small", routed_s), ("big", routed_b)):
+        m = routed.agg(F.count(F.lit(1)).alias("rows"),
+                       F.sum("n_tok").alias("tokens")).collect()[0]
+        counts[key] = (int(m["rows"]), int(m["tokens"]))
+    # Warm-up on the SMALL plan until stable (same convergence rule as
+    # the pointwise protocol — it JITs the identical code paths at a
+    # quarter of the cost), then one untimed big run to touch the big
+    # table's pages.
+    warm = []
+    for i in range(6):
+        t0 = time.time()
+        _noop(aggs_s)
+        warm.append(time.time() - t0)
+        if i >= 2 and abs(warm[-1] - warm[-2]) <= \
+                0.15 * min(warm[-1], warm[-2]):
+            break
+    t0 = time.time()
+    _noop(aggs_b)
+    warm.append(time.time() - t0)
+    ts, tb = [], []
+    for _ in range(2):
+        t0 = time.time()
+        _noop(aggs_s)
+        ts.append(time.time() - t0)
+        t0 = time.time()
+        _noop(aggs_b)
+        tb.append(time.time() - t0)
+    t_small, t_big = _med(ts), _med(tb)
+    est = marginal_estimate(counts["small"], counts["big"],
+                            t_small, t_big)
+    rate, tok_rate = est["seq_per_sec"], est["tok_per_sec"]
+    ok, fixed = est["ok"], est["fixed_cost_sec"]
+    d_docs = counts["big"][0] - counts["small"][0]
+    d_tok = counts["big"][1] - counts["small"][1]
+    return {
+        "n_docs": d_docs,
+        "n_tokens": d_tok,
+        "seq_per_sec": round(rate, 1),
+        "tok_per_sec": round(tok_rate, 1),
+        "estimator": "marginal_2pt",
+        "marginal_ok": ok,
+        "amplify_points": {"small": a_small, "big": a_big},
+        "n_docs_points": {"small": counts["small"][0],
+                          "big": counts["big"][0]},
+        "runs_sec_small": [round(t, 2) for t in ts],
+        "runs_sec_big": [round(t, 2) for t in tb],
+        "warmup_sec": [round(t, 2) for t in warm],
+        "pointwise_seq_per_sec": {
+            "small": round(counts["small"][0] / t_small, 1),
+            "big": round(counts["big"][0] / t_big, 1)},
+        "fixed_cost_sec": round(fixed, 3) if fixed is not None else None,
+        "t_big_sec": round(t_big, 3),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -156,6 +288,24 @@ def main():
         if "sf" in sf_dir else 0.0
     spark = get_spark(app="bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(int(cpus), 8))
+
+    if os.environ.get("SPARK_GRAFT_MARGINAL"):
+        pipeline = marginal_pipeline_bench(spark, sf_dir, cpus)
+        out = {
+            "metric": "headline_total_sec",
+            "value": pipeline["t_big_sec"],
+            "unit": "sec",
+            "pipeline_only": True,
+            "marginal": True,
+            "queries": {
+                "pipeline_parse_route_aggregate": pipeline["t_big_sec"]},
+            "sf": sf,
+            "cpus": int(cpus),
+            "pipeline": pipeline,
+        }
+        spark.stop()
+        print(json.dumps(out))
+        return
 
     timings: dict[str, float] = {}
 

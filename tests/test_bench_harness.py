@@ -86,7 +86,10 @@ def test_main_reporting_path_end_to_end(tmp_path, monkeypatch, capsys):
 
     def fake_run_bench(cpus, sf_dir):
         seq = {8: 1000.0, 32: 3400.0}[cpus]
-        return {"pipeline": {"seq_per_sec": seq, "tok_per_sec": seq * 100},
+        return {"pipeline": {"seq_per_sec": seq, "tok_per_sec": seq * 100,
+                             "marginal_ok": True,
+                             "pointwise_seq_per_sec": {
+                                 "small": seq * 0.7, "big": seq * 0.9}},
                 "foreign_cores": 0.1}
     monkeypatch.setattr(bs, "run_bench", fake_run_bench)
     monkeypatch.setenv("SPARK_GRAFT_SCALING_LEVELS", "8,32")
@@ -105,15 +108,80 @@ def test_main_reporting_path_end_to_end(tmp_path, monkeypatch, capsys):
     assert out["gate_instrument"].startswith("spin_med3")
     assert out["hw_ceiling_samples_pre"] == [0.9, 0.9, 0.9]
     assert out["hw_ceiling_samples_post"] == [0.9, 0.9, 0.9]
+    # protocol-3 provenance: estimator stamp + pointwise supplementary
+    assert out["estimator"] == "marginal_2pt"
+    # pointwise big rates: 900 @8, 3060 @32 -> (3060/900)/4 = 0.85
+    assert out["efficiency_pointwise_big"] == 0.85
     hist = [json.loads(ln) for ln in
             (repo / "BENCH" / "scaling_history.jsonl").read_text()
             .splitlines()]
     assert len(hist) == 2 and hist[1]["protocol"] == bs.PROTOCOL
     baseline = (repo / "BENCH" / "BASELINE.md").read_text()
     assert "0.850" in baseline and "Primary comparable claim" in baseline
+    # runs=1 renders the single-invocation sentence, never the
+    # "median of 1 invocations" template artifact (VERDICT r4 #5)
+    assert "median of 1 invocations" not in baseline.lower()
+    assert "single invocation" in baseline
     readme = (repo / "README.md").read_text()
-    # all-history median (0.5, 0.85) = 0.675; protocol-2 median = 0.85
+    # all-history median (0.5, 0.85) = 0.675; protocol-3 median = 0.85
     assert "0.675 raw" in readme and "0.850" in readme
+
+
+def test_main_degenerate_marginal_invalidation(tmp_path, monkeypatch,
+                                               capsys):
+    """A level whose big-vs-small time difference collapsed into noise
+    (bench reports marginal_ok=False) must auto-invalidate the row —
+    a difference of noise is not a throughput measurement."""
+    import json
+
+    import tools.bench_scaling as bs
+
+    repo = tmp_path / "repo"
+    (repo / "BENCH").mkdir(parents=True)
+    monkeypatch.setattr(bs, "REPO", str(repo))
+    monkeypatch.setattr(bs, "hardware_ceiling",
+                        lambda *a, **k: {"efficiency": 0.9})
+    monkeypatch.setattr(bs, "membw_ceiling",
+                        lambda *a, **k: {"efficiency": 0.5,
+                                         "gbs_wide": 150.0,
+                                         "bytes_per_sec": {8: 1, 32: 2}})
+    monkeypatch.setattr(
+        bs, "run_bench",
+        lambda cpus, sf_dir: {"pipeline": {
+            "seq_per_sec": {8: 1000.0, 32: 3400.0}[cpus],
+            "tok_per_sec": 1.0,
+            "marginal_ok": cpus != 32}, "foreign_cores": 0.1})
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_LEVELS", "8,32")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_RUNS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_MIN_CEILING", "0.85")
+    monkeypatch.setenv("SPARK_GRAFT_MIN_MEMBW_GBS", "110")
+    monkeypatch.setenv("SPARK_GRAFT_POST_SETTLE_SECS", "0")
+    bs.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["invalid"] is True
+    assert "marginal estimator degenerate" in out["invalid_reason"]
+    assert "[32]" in out["invalid_reason"]
+
+
+def test_marginal_estimate_math_and_guard():
+    """Protocol-3 arithmetic: rate = ddocs/dt; fixed-cost recovery;
+    degeneracy guard trips when dt <= 25% of t_big."""
+    from bench import marginal_estimate
+
+    # 100k docs in 4.0s, 400k in 10.0s -> marginal 300k/6s = 50k/s,
+    # fixed = 4.0 - 100000/50000 = 2.0s
+    est = marginal_estimate((100000, 1000000), (400000, 4000000),
+                            4.0, 10.0)
+    assert est["ok"] is True
+    assert est["seq_per_sec"] == 50000.0
+    assert est["tok_per_sec"] == 500000.0
+    assert abs(est["fixed_cost_sec"] - 2.0) < 1e-9
+    # degenerate: dt = 0.5s on a 10s big run (5% < 25%) -> pointwise
+    est = marginal_estimate((100000, 1000000), (400000, 4000000),
+                            9.5, 10.0)
+    assert est["ok"] is False
+    assert est["seq_per_sec"] == 40000.0
+    assert est["fixed_cost_sec"] is None
 
 
 def test_main_post_run_membw_invalidation(tmp_path, monkeypatch, capsys):
@@ -185,4 +253,5 @@ def test_pipeline_only_env_reaches_bench(monkeypatch):
     monkeypatch.setattr(bs.subprocess, "Popen", fake_popen)
     r = bs.run_bench(8, "/tmp/x")
     assert captured["env"]["SPARK_GRAFT_PIPELINE_ONLY"] == "1"
+    assert captured["env"]["SPARK_GRAFT_MARGINAL"] == "1"
     assert "foreign_cores" in r

@@ -27,10 +27,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # headline median never mixes incomparable protocols (ADVICE r3):
 #   1 — original bench (plan rebuilt inside every timed pipeline run)
 #   2 — plan-reuse bench (8e1a46f): plan built once, metrics untimed.
+#   3 — two-point marginal bench (round 5): per level, the identical
+#       prebuilt plan is timed at AMPLIFY=20 and AMPLIFY=80
+#       interleaved in one process, and the level's throughput is the
+#       MARGINAL rate (docs_big - docs_small)/(t_big - t_small). This
+#       cancels the measured 1.5 s (32c) / 2.3 s (8c) per-job fixed
+#       cost (Catalyst planning + scheduling + commit;
+#       tools/probe_amplify.py) that is ~0% of a 10^12-sequence job
+#       but taxes the 4N level 4x relatively at bench scale — AND
+#       cuts a full gated run to ~4 min so it fits inside this box's
+#       honest hypervisor windows (round-4 climatology: qualifying
+#       streaks ~5 min, shorter than the protocol-2 run length; three
+#       raw-PASS protocol-2 runs died to mid-run window collapse).
 # Legacy rows carry no field; the ledger is APPEND-ONLY, so protocol 2
 # for them is inferred by position (the first plan-reuse row, #5, was
 # recorded at 8e1a46f and every later row used the same bench.py).
-PROTOCOL = 2
+PROTOCOL = 3
 FIRST_PROTOCOL2_ROW = 5  # 1-based ledger position of the first v2 row
 
 
@@ -178,9 +190,10 @@ def _load_history():
 
 def _row_protocol(h, pos1):
     """Protocol of a ledger row: explicit field, else inferred from the
-    append-only position (see FIRST_PROTOCOL2_ROW)."""
-    return h.get("protocol",
-                 PROTOCOL if pos1 >= FIRST_PROTOCOL2_ROW else 1)
+    append-only position (see FIRST_PROTOCOL2_ROW). Unstamped legacy
+    rows are protocol 1 or 2 by position — never the current PROTOCOL
+    (every protocol-3+ row carries an explicit field)."""
+    return h.get("protocol", 2 if pos1 >= FIRST_PROTOCOL2_ROW else 1)
 
 
 def render_readme_claim():
@@ -204,7 +217,7 @@ def render_readme_claim():
         f"({len(history)} recorded; append-only ledger "
         "`BENCH/scaling_history.jsonl`). Comparable-protocol view: "
         f"median **{_median(p2_vals):.3f}** over the {len(p2_vals)} "
-        "valid plan-reuse-protocol rows"
+        "valid current-protocol rows"
         + (f", **{_median(gen_vals):.3f}** over the {len(gen_vals)} "
            "git-stamped current-generation rows" if gen_vals else "")
         + f". Best honest valid invocation: **{best['value']:.3f} raw"
@@ -310,7 +323,11 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
                # that widens the mid-run window exposure the post
                # gates exist to catch (three round-4 runs were
                # invalidated by mid-run window collapse)
-               SPARK_GRAFT_PIPELINE_ONLY="1")
+               SPARK_GRAFT_PIPELINE_ONLY="1",
+               # protocol 3: two-point marginal estimator (see the
+               # PROTOCOL table above and bench.py's
+               # marginal_pipeline_bench docstring)
+               SPARK_GRAFT_MARGINAL="1")
     # scaling runs need enough work that fixed per-job overheads
     # (scheduling, worker pool, GC) amortize — otherwise the 4N level
     # measures overhead, not throughput; the INPUT is identical at
@@ -419,6 +436,8 @@ def main():
             "seq_per_sec": med, "tok_per_sec": med_tok,
             "all_runs": [r["pipeline"]["seq_per_sec"] for r in rs],
             "foreign_cores": [r.get("foreign_cores") for r in rs],
+            "marginal_ok": [r["pipeline"].get("marginal_ok") for r in rs],
+            "pointwise": rs[-1]["pipeline"].get("pointwise_seq_per_sec"),
             "sample": rs[-1],
         }
     eff = (results[32]["seq_per_sec"] / results[8]["seq_per_sec"]) / 4.0
@@ -451,10 +470,13 @@ def main():
         "hw_ceiling_pre_run": round(pre_hw["efficiency"], 3),
         # gate-instrument provenance (round 4): median-of-3 spin
         # samples (all recorded), fixed post-run settle, signal-free
-        # ad-hoc queries dropped from scaling invocations. The bench
-        # TIMING protocol is unchanged (still PROTOCOL 2); this field
-        # versions only how window validity is instrumented.
-        "gate_instrument": "spin_med3+settle90+pipeline_only",
+        # ad-hoc queries dropped from scaling invocations; round 5
+        # adds the protocol-3 two-point marginal estimator (that one
+        # IS a timing-protocol change — hence PROTOCOL = 3 above).
+        "gate_instrument": "spin_med3+settle90+pipeline_only+marginal2pt",
+        "estimator": "marginal_2pt",
+        "pointwise_seq_per_sec": {
+            k: results[k].get("pointwise") for k in results},
         "hw_ceiling_samples_pre": pre_hw.get("samples"),
         "hw_ceiling_samples_post": hw.get("samples"),
         "membw_ceiling": (round(bw["efficiency"], 3) if bw else None),
@@ -496,11 +518,28 @@ def main():
             capture_output=True, text=True, timeout=10).stdout.strip()
     except Exception:
         summary["git_rev"] = None
+    # supplementary: pointwise (single-size, fixed-cost-inclusive)
+    # efficiency at the big amplify — the protocol-2-comparable view
+    pw8 = (results[8].get("pointwise") or {}).get("big")
+    pw32 = (results[32].get("pointwise") or {}).get("big")
+    summary["efficiency_pointwise_big"] = (
+        round((pw32 / pw8) / 4.0, 3) if pw8 and pw32 else None)
     FOREIGN_BOUND = 1.5
     stomped = {k: v for k, v in summary["foreign_cores"].items()
                if k in (8, 32)
                and any(f is not None and f > FOREIGN_BOUND for f in v)}
-    if stomped:
+    degenerate = {k: v["marginal_ok"] for k, v in results.items()
+                  if k in (8, 32)
+                  and any(ok is False for ok in v["marginal_ok"])}
+    if degenerate:
+        summary["invalid"] = True
+        summary["invalid_reason"] = (
+            "auto: marginal estimator degenerate at level(s) "
+            f"{sorted(degenerate)} — the big-vs-small time difference "
+            "was too small to carry a claim (bench reported "
+            "marginal_ok=false and fell back to the pointwise rate); "
+            "a difference-of-noise is not a throughput measurement")
+    elif stomped:
         summary["invalid"] = True
         summary["invalid_reason"] = (
             "auto: foreign load exceeded "
@@ -580,20 +619,23 @@ def main():
     # not mix plan-rebuild and plan-reuse measurements). New rows carry
     # an explicit "protocol"; legacy rows are classified by their
     # append-only ledger position (see FIRST_PROTOCOL2_ROW).
-    p2_vals = [h["value"] for i, h in enumerate(history, 1)
-               if not h.get("invalid") and _row_protocol(h, i) == PROTOCOL]
-    p1_vals = [h["value"] for i, h in enumerate(history, 1)
-               if not h.get("invalid") and _row_protocol(h, i) != PROTOCOL]
+    by_proto: dict = {}
+    for i, h in enumerate(history, 1):
+        if not h.get("invalid"):
+            by_proto.setdefault(_row_protocol(h, i), []).append(h["value"])
+    cur_vals = by_proto.get(PROTOCOL, [])
     gen_line = ""
-    if p2_vals:
+    if cur_vals:
+        older = "; ".join(
+            f"{len(v)} protocol-{p} rows (median {_median(v):.3f})"
+            for p, v in sorted(by_proto.items()) if p != PROTOCOL)
         gen_line = (
-            f" Primary comparable claim: median over the {len(p2_vals)}"
-            f" valid protocol-{PROTOCOL} (plan-reuse bench) rows = "
-            f"{_median(p2_vals):.3f}"
-            + (f"; the {len(p1_vals)} valid protocol-1 rows "
-               f"(median {_median(p1_vals):.3f}) predate the bench "
-               "protocol change and are kept for the all-history "
-               "number only." if p1_vals else "."))
+            f" Primary comparable claim: median over the {len(cur_vals)}"
+            f" valid protocol-{PROTOCOL} (two-point marginal bench) "
+            f"rows = {_median(cur_vals):.3f}"
+            + (f"; earlier-protocol valid rows — {older} — predate the "
+               "estimator change and enter the all-history number "
+               "only." if older else "."))
     # supplementary: the median over rows that carry a git_rev (the
     # current engine generation; a subset of protocol-2).
     gen_vals = [h["value"] for h in valid if h.get("git_rev")]
@@ -616,21 +658,43 @@ def main():
            "ledger reason; its numbers carry no claim weight)"
            if summary.get("invalid") else "")
         + ".\n\n")
+    runs_sentence = (
+        f"Each level is the MEDIAN of {runs} invocations (never the "
+        "best — host variance must not bias the claim upward)."
+        if runs > 1 else
+        "Each level is a single invocation — shortened deliberately so "
+        "a full gated run fits inside this box's honest hypervisor "
+        "windows (round-4 climatology: qualifying streaks ~5 min, "
+        "shorter than the protocol-2 run length); claim robustness "
+        "comes from the pre/post window gates plus the append-only "
+        "multi-invocation ledger median, not from within-run "
+        "repetition.")
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — measured throughput & scaling
 
-{headline}Protocol per BASELINE.md: identical parse->enrich->route->aggregate
-job, identical deterministic input (seed=42 transcripts, cardinality =
-documents({sf_dir}) x amplification); each level runs under
-`taskset -c 0-(k-1) ... --master local[k]` so the WHOLE process tree
-(JVM task threads + GC + Arrow python workers) is confined to exactly
-k CPUs — the sandbox emulation of a k-executor cluster (without the
-cpuset, local[8]'s python workers spill onto the 24 idle cores and
-the N level is overstated). Each invocation reports the median of 3
-steady-state runs after warm-up (worker forks + imports + JIT are
-one-time costs a long-running cluster job never sees per batch);
-each level is the MEDIAN of {runs} invocations (never the best —
-host variance must not bias the claim upward).
+{headline}Protocol 3 (two-point marginal; version table in
+tools/bench_scaling.py): identical parse->enrich->route->aggregate
+job, identical deterministic input at two sizes (seed=42 transcripts,
+cardinality = documents({sf_dir}) x AMPLIFY 20 and 80); each level
+runs under `taskset -c 0-(k-1) ... --master local[k]` so the WHOLE
+process tree (JVM task threads + GC + Arrow python workers) is
+confined to exactly k CPUs — the sandbox emulation of a k-executor
+cluster (without the cpuset, local[8]'s python workers spill onto the
+24 idle cores and the N level is overstated). Within one process the
+prebuilt plan is warmed to steady state on the small input, then
+timed interleaved small-big-small-big (window drift cancels); the
+level's throughput is the MARGINAL rate
+(docs_big - docs_small) / (t_big - t_small) — the steady-state
+per-sequence cost with the per-job fixed overhead cancelled. That
+fixed overhead (Catalyst optimization + physical planning of the
+action, task scheduling, the noop commit) was measured at 1.5 s
+(32 cores) / 2.3 s (8 cores) by a same-process ABAB A/B
+(tools/probe_amplify.py): ~0% of any job at the north rule's
+10^12-sequence scale, but at bench scale (4-35 s jobs) it taxes the
+4N level 4x as hard relatively and suppresses the measured 8->32
+efficiency by ~0.15 without any per-sequence work scaling worse. The
+single-size ("pointwise") rates and efficiency are reported below as
+supplementary context, not hidden. {runs_sentence}
 
 | parallelism | sequences/sec | tokens/sec |
 |---|---|---|
@@ -651,8 +715,13 @@ can show here. Real N- vs 4N-executor clusters add whole machines
 normalized number is the engine's software scaling relative to what
 the hardware allows.
 
-Raw per-run sequences/sec: local[8]={r8['all_runs']},
-local[32]={r32['all_runs']}.
+Raw per-run (marginal) sequences/sec: local[8]={r8['all_runs']},
+local[32]={r32['all_runs']}. Supplementary pointwise
+(single-size AMPLIFY=80, fixed-cost-inclusive) seq/s:
+local[8]={json.dumps(r8.get('pointwise'))},
+local[32]={json.dumps(r32.get('pointwise'))}; pointwise 8->32
+efficiency = {summary.get('efficiency_pointwise_big')}
+(protocol-2-comparable view).
 
 Foreign-load telemetry (avg CPU cores burned by OTHER processes
 during each invocation, from /proc/stat minus the bench tree's own
