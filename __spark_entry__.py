@@ -17,30 +17,13 @@ boundary.
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
 the dict holds 94 — so forty-four entries rotate out of the driver's
-hard signal every round. The dict is therefore ordered: (1) queries
-never yet driver-recorded (the round-4 additions
-``doc_winnow_sketch``, ``embedding_kmeans``, ``doc_vocab_growth``,
-``doc_winnow_pairs``, ``events_transitions``, ``doc_crossdup_minhash``,
-``stream_transitions``, ``doc_word_freq_spectrum``,
-``events_user_trigrams``, ``doc_cluster_profile``,
-``q14_promo_effect``,
-``doc_bpe_encode``, ``doc_incremental_dedup``, ``doc_length_batches``,
-``doc_ccnet_buckets``,
-``doc_lm_score``, ``doc_token_windows``, ``events_retention_cohorts``,
-``doc_curation_pipeline``,
-``doc_shard_manifest``, ``doc_span_dedup``, ``events_heavy_hitters``,
-``doc_bpe_pairs``,
-``doc_bpe_learn``, ``doc_vocab_coverage``, ``doc_boilerplate``,
-``doc_temperature_mix``, ``doc_length_stats``, ``doc_split_assign``,
-``events_funnel``, ``doc_inverted_index``, ``doc_keywords``,
-``stream_funnel``, ``events_rate_outliers``,
-``doc_pii_redact``,
-``doc_quality_model``, ``doc_epoch_shuffle``, ``doc_decontaminate``,
-``stream_dedup_exact``, ``doc_pack_sequences``)
-or whose implementation changed this round
-(the four cmd-line/edit-warning consumers after the r4 parse-twin
-fixes) FIRST, (2) multiply-green stable queries
-whose code did not change and does not depend on the parse twins
+hard signal every round. The dict is therefore ordered each round:
+(1) queries whose implementation CHANGED this round (they most need
+a fresh independent row) first, then (2) the queries whose last
+driver-recorded row is OLDEST — the aging bound is that no query's
+driver-green row may be more than 2 rounds old (VERDICT r4 item 4),
+which the alternation of the two 44-to-50-entry halves guarantees —
+and (3) multiply-green stable queries whose code did not change
 last. Every round, the FULL dict is re-verified locally with
 ``tools/check_correctness.py`` and the result committed as
 ``CORRECTNESS_local_r{N}.json``, so the rotated-out queries always
@@ -910,9 +893,11 @@ def ann_lsh_top10(spark, sf_dir):
 
 
 def ann_ivf_top10(spark, sf_dir):
-    """IVF ANN: deterministic coarse codebook (vec_id % 43 == 1),
-    integer-exact cell assignment, nprobe=2 probe, exact cosine
-    re-rank — operators/similarity.py."""
+    """IVF ANN: deterministic sqrt-bounded coarse codebook (vec_id %
+    m == 1 with m = max(2, n // isqrt(n)), so K ~ sqrt(n) centroids —
+    the collect is bounded at any corpus size), integer-exact cell
+    assignment, nprobe=2 probe, exact cosine re-rank —
+    operators/similarity.py."""
     _ship_package(spark)
     from console_log_parser_spark.operators import similarity
     emb = _t(spark, sf_dir, "embeddings")
@@ -1498,8 +1483,10 @@ def doc_shard_manifest(spark, sf_dir):
     """Training-data export manifest (sinks/shards.py): the corpus
     sharded 16 ways by the deterministic md5 key (resume/retry places
     every doc in the same shard), with per-shard doc count, word
-    count, and an order-invariant commutative content checksum (sum of
-    48-bit md5 prefixes) that any engine can recompute from the same
+    count, and an order-invariant commutative content checksum
+    (bitwise XOR of 48-bit md5 prefixes — XOR, not SUM, because a
+    shard-sized sum overflows BIGINT and lands in DuckDB HUGEINT; see
+    sinks/shards.py) that any engine can recompute from the same
     bytes. Assignment is map-side; the only exchange is the 16-row
     partial+final aggregate. The actual partitioned parquet write +
     read-back attestation + partition pruning are pinned by
@@ -1943,7 +1930,9 @@ def doc_vocab_growth(spark, sf_dir):
 def _vocab_growth_oracle(cps) -> str:
     vals = ",".join(f"({c})" for c in cps)
     return f"""
-        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        WITH d AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '),
+                                      w -> w <> '') AS ws
                    FROM documents),
         c AS (SELECT doc_id, ws,
                      SUM(len(ws)) OVER (ORDER BY doc_id) - len(ws)
@@ -1952,7 +1941,7 @@ def _vocab_growth_oracle(cps) -> str:
                     i -> {{'g': off + i - 1, 'w': ws[i]}})) AS u
                 FROM c),
         f AS (SELECT u.w AS w, CAST(MIN(u.g) AS BIGINT) AS first_idx
-              FROM tok WHERE u.w <> '' GROUP BY 1)
+              FROM tok GROUP BY 1)
         SELECT CAST(cp AS BIGINT) AS checkpoint,
                CAST(least(cp, (SELECT CAST(SUM(len(ws)) AS BIGINT)
                                FROM d)) AS BIGINT) AS tokens_seen,
@@ -2021,69 +2010,29 @@ _CLUSTER_PROFILE_FINAL = """
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate (see module docstring, "recording-window
     # rotation policy"): the driver records the first 50 entries only.
-    # Round 4 changed the parse/replay twins (dangling-ESC fallback,
-    # multi-param CSI params, EOD anchoring), so the four cmd-line /
-    # edit-warning consumers lead this round — ADVICE r3: cmd-line-
-    # dependent queries must sit inside the recorded window whenever
-    # parse code changes — and every pipeline_*/html query consuming
-    # the changed twins stays inside the top 50. The rotated-out tail
-    # (ann_matmul_top10, embedding_neardup, media_* synth ops,
-    # doc_repetition/doc_quality/doc_token_count,
-    # q6_revenue, q4_order_priority, doc_fingerprint, doc_word_topk)
-    # is unchanged for >= 2 rounds, driver-green in r1-r3, independent
-    # of the parse twins, and re-verified this round in
-    # CORRECTNESS_local_r04.json.
+    # Round 5 rotates the r3-era stable tail BACK into the recorded
+    # window (VERDICT r4 item 4: no query's driver-green row may age
+    # past 2 rounds): the 44 queries absent from CORRECTNESS_r04.json
+    # (q1-q6, the cast_* family, events_asof_interleave, html_render_
+    # stats, the ann_*/media_* set, ...) now fill positions 8-49. The
+    # first 7 slots are the queries whose CODE changed this round and
+    # need a fresh independent row: ann_ivf_top10 (sqrt-bounded IVF
+    # codebook), doc_minhash_dedup (persisted band frame), the three
+    # doc_bpe_* twins + doc_vocab_growth (boundary-wrapped symbols /
+    # empties-filtered offsets — r5 ADVICE fixes), doc_shard_manifest
+    # (docstring reconciliation). Slot 50 is doc_curation_pipeline
+    # (widest operator composition). The rotated-out tail is exactly
+    # the set recorded driver-green in CORRECTNESS_r04.json last
+    # round, unchanged this round, and re-verified in
+    # CORRECTNESS_local_r05.json.
     return {
-        "doc_winnow_sketch": doc_winnow_sketch,
-        "embedding_kmeans": embedding_kmeans,
-        "doc_vocab_growth": doc_vocab_growth,
-        "doc_winnow_pairs": doc_winnow_pairs,
-        "events_transitions": events_transitions,
-        "doc_crossdup_minhash": doc_crossdup_minhash,
-        "stream_transitions": stream_transitions,
-        "doc_word_freq_spectrum": doc_word_freq_spectrum,
-        "events_user_trigrams": events_user_trigrams,
-        "doc_cluster_profile": doc_cluster_profile,
-        "q14_promo_effect": q14_promo_effect,
-        "doc_bpe_encode": doc_bpe_encode,
-        "doc_incremental_dedup": doc_incremental_dedup,
-        "doc_length_batches": doc_length_batches,
-        "doc_ccnet_buckets": doc_ccnet_buckets,
-        "doc_lm_score": doc_lm_score,
-        "doc_token_windows": doc_token_windows,
-        "events_retention_cohorts": events_retention_cohorts,
-        "doc_curation_pipeline": doc_curation_pipeline,
-        "doc_shard_manifest": doc_shard_manifest,
-        "doc_span_dedup": doc_span_dedup,
-        "events_heavy_hitters": events_heavy_hitters,
+        "ann_ivf_top10": ann_ivf_top10,
+        "doc_minhash_dedup": doc_minhash_dedup,
         "doc_bpe_pairs": doc_bpe_pairs,
         "doc_bpe_learn": doc_bpe_learn,
-        "doc_vocab_coverage": doc_vocab_coverage,
-        "doc_boilerplate": doc_boilerplate,
-        "doc_temperature_mix": doc_temperature_mix,
-        "doc_length_stats": doc_length_stats,
-        "doc_split_assign": doc_split_assign,
-        "events_funnel": events_funnel,
-        "doc_inverted_index": doc_inverted_index,
-        "doc_keywords": doc_keywords,
-        "stream_funnel": stream_funnel,
-        "events_rate_outliers": events_rate_outliers,
-        "doc_pii_redact": doc_pii_redact,
-        "doc_quality_model": doc_quality_model,
-        "doc_epoch_shuffle": doc_epoch_shuffle,
-        "doc_decontaminate": doc_decontaminate,
-        "stream_dedup_exact": stream_dedup_exact,
-        "doc_pack_sequences": doc_pack_sequences,
-        "pipeline_top_commands": pipeline_top_commands,
-        "pipeline_app_mode": pipeline_app_mode,
-        "pipeline_typed_events": pipeline_typed_events,
-        "pipeline_chapters": pipeline_chapters,
-        "pipeline_source_rollup": pipeline_source_rollup,
-        "events_type_cube": events_type_cube,
-        "pipeline_os_commands": pipeline_os_commands,
-        "pipeline_severity_hist": pipeline_severity_hist,
-        "pipeline_sink_summary": pipeline_sink_summary,
-        "pipeline_seq_histogram": pipeline_seq_histogram,
+        "doc_bpe_encode": doc_bpe_encode,
+        "doc_vocab_growth": doc_vocab_growth,
+        "doc_shard_manifest": doc_shard_manifest,
         "html_render_stats": html_render_stats,
         "doc_sample_mix": doc_sample_mix,
         "q1_pricing_summary": q1_pricing_summary,
@@ -2110,22 +2059,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_dedup_keep_first": doc_dedup_keep_first,
         "doc_dedup_clusters": doc_dedup_clusters,
-        "doc_minhash_dedup": doc_minhash_dedup,
         "doc_minhash_signatures": doc_minhash_signatures,
         "doc_simhash_pairs": doc_simhash_pairs,
         "ann_bruteforce_top10": ann_bruteforce_top10,
         "ann_lsh_top10": ann_lsh_top10,
-        "ann_ivf_top10": ann_ivf_top10,
         "ann_matmul_top10": ann_matmul_top10,
         "embedding_neardup": embedding_neardup,
         "media_metadata_stats": media_metadata_stats,
         "media_frame_sample": media_frame_sample,
         "media_thumbnails": media_thumbnails,
-        # --- rotated-out tail (entries 51-60, with media_* above):
-        # stable, driver-green
-        # r1-r3, code unchanged for >= 2 rounds and independent of the
-        # parse twins, re-verified locally each round (see rotation
-        # policy in the module docstring) ---
         "doc_repetition": doc_repetition,
         "doc_quality": doc_quality,
         "doc_token_count": doc_token_count,
@@ -2133,6 +2075,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "doc_fingerprint": doc_fingerprint,
         "doc_word_topk": doc_word_topk,
+        "doc_curation_pipeline": doc_curation_pipeline,
+        # --- rotated-out tail (positions 51-94): every entry
+        # here has a driver-green row in CORRECTNESS_r04.json
+        # (last round), is code-unchanged this round, and is
+        # re-verified locally each round (rotation policy in
+        # the module docstring) ---
+        "doc_winnow_sketch": doc_winnow_sketch,
+        "embedding_kmeans": embedding_kmeans,
+        "doc_winnow_pairs": doc_winnow_pairs,
+        "events_transitions": events_transitions,
+        "doc_crossdup_minhash": doc_crossdup_minhash,
+        "stream_transitions": stream_transitions,
+        "doc_word_freq_spectrum": doc_word_freq_spectrum,
+        "events_user_trigrams": events_user_trigrams,
+        "doc_cluster_profile": doc_cluster_profile,
+        "q14_promo_effect": q14_promo_effect,
+        "doc_incremental_dedup": doc_incremental_dedup,
+        "doc_length_batches": doc_length_batches,
+        "doc_ccnet_buckets": doc_ccnet_buckets,
+        "doc_lm_score": doc_lm_score,
+        "doc_token_windows": doc_token_windows,
+        "events_retention_cohorts": events_retention_cohorts,
+        "doc_span_dedup": doc_span_dedup,
+        "events_heavy_hitters": events_heavy_hitters,
+        "doc_vocab_coverage": doc_vocab_coverage,
+        "doc_boilerplate": doc_boilerplate,
+        "doc_temperature_mix": doc_temperature_mix,
+        "doc_length_stats": doc_length_stats,
+        "doc_split_assign": doc_split_assign,
+        "events_funnel": events_funnel,
+        "doc_inverted_index": doc_inverted_index,
+        "doc_keywords": doc_keywords,
+        "stream_funnel": stream_funnel,
+        "events_rate_outliers": events_rate_outliers,
+        "doc_pii_redact": doc_pii_redact,
+        "doc_quality_model": doc_quality_model,
+        "doc_epoch_shuffle": doc_epoch_shuffle,
+        "doc_decontaminate": doc_decontaminate,
+        "stream_dedup_exact": stream_dedup_exact,
+        "doc_pack_sequences": doc_pack_sequences,
+        "pipeline_top_commands": pipeline_top_commands,
+        "pipeline_app_mode": pipeline_app_mode,
+        "pipeline_typed_events": pipeline_typed_events,
+        "pipeline_chapters": pipeline_chapters,
+        "pipeline_source_rollup": pipeline_source_rollup,
+        "events_type_cube": events_type_cube,
+        "pipeline_os_commands": pipeline_os_commands,
+        "pipeline_severity_hist": pipeline_severity_hist,
+        "pipeline_sink_summary": pipeline_sink_summary,
+        "pipeline_seq_histogram": pipeline_seq_histogram,
     }
 
 
@@ -2145,10 +2137,13 @@ def _bpe_learn_ctes(n_merges: int) -> list[str]:
     finals, 2 per nested replace in the encode) — inlining re-derives
     the whole prefix chain each time (measured: encode 0.2 s
     materialized vs minutes inlined)."""
+    # wrapped symbol representation (operators/vocab.py module
+    # docstring): US s1 USUS s2 ... US — boundary-unambiguous, so a
+    # plain replace is exactly the whole-symbol greedy BPE merge
     ctes = ["""w0 AS MATERIALIZED (
-            SELECT array_to_string(list_transform(
+            SELECT chr(31) || array_to_string(list_transform(
                        range(1, length(w) + 1), i -> w[i:i]),
-                       chr(31)) AS s,
+                       chr(31) || chr(31)) || chr(31) AS s,
                    CAST(count(*) AS BIGINT) AS wc
             FROM (SELECT unnest(string_split(text, ' ')) AS w
                   FROM documents)
@@ -2159,7 +2154,9 @@ def _bpe_learn_ctes(n_merges: int) -> list[str]:
             "p{k} AS MATERIALIZED (SELECT wc,"
             " unnest(list_transform(range(1, len(p)),"
             " i -> {{'l': p[i], 'r': p[i + 1]}})) AS u"
-            " FROM (SELECT wc, string_split(s, chr(31)) AS p FROM w{j})"
+            " FROM (SELECT wc, string_split("
+            "substr(s, 2, length(s) - 2), chr(31) || chr(31)) AS p"
+            " FROM w{j})"
             " WHERE len(p) >= 2)".format(k=k, j=k - 1))
         ctes.append(
             "c{k} AS MATERIALIZED (SELECT u['l'] AS l, u['r'] AS r,"
@@ -2171,8 +2168,10 @@ def _bpe_learn_ctes(n_merges: int) -> list[str]:
         if k < n_merges:
             ctes.append(
                 "w{k} AS MATERIALIZED (SELECT replace(s,"
-                " (SELECT l || chr(31) || r FROM t{k}),"
-                " (SELECT l || r FROM t{k})) AS s, wc"
+                " (SELECT chr(31) || l || chr(31) || chr(31) || r"
+                " || chr(31) FROM t{k}),"
+                " (SELECT chr(31) || l || r || chr(31) FROM t{k}))"
+                " AS s, wc"
                 " FROM w{j})".format(k=k, j=k - 1))
     return ctes
 
@@ -2199,11 +2198,14 @@ def _bpe_encode_oracle(n_merges: int) -> str:
     application order, left-to-right non-overlapping in both engines)
     and aggregate the per-doc token telemetry."""
     ctes = _bpe_learn_ctes(n_merges)
-    enc = ("array_to_string(list_transform(range(1, length(w) + 1), "
-           "i -> w[i:i]), chr(31))")
+    enc = ("chr(31) || array_to_string(list_transform("
+           "range(1, length(w) + 1), "
+           "i -> w[i:i]), chr(31) || chr(31)) || chr(31)")
     for k in range(1, n_merges + 1):
-        enc = ("replace({e}, (SELECT l || chr(31) || r FROM t{k}), "
-               "(SELECT l || r FROM t{k}))".format(e=enc, k=k))
+        enc = ("replace({e}, (SELECT chr(31) || l || chr(31) || chr(31)"
+               " || r || chr(31) FROM t{k}), "
+               "(SELECT chr(31) || l || r || chr(31) FROM t{k}))"
+               .format(e=enc, k=k))
     return ("WITH " + ",\n        ".join(ctes) + """,
         docw AS (
             SELECT doc_id, w FROM (
@@ -2212,8 +2214,8 @@ def _bpe_encode_oracle(n_merges: int) -> str:
         ),
         enc AS (
             SELECT doc_id, length(w) AS n_chars,
-                   len(string_split(""" + enc + """, chr(31)))
-                       AS n_tok
+                   len(string_split(""" + enc + """,
+                       chr(31) || chr(31))) AS n_tok
             FROM docw
         )
         SELECT CAST(doc_id AS BIGINT) AS doc_id,

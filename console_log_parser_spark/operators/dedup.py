@@ -127,8 +127,19 @@ def minhash_dedup_pairs(df: DataFrame, k: int = 3, n_perm: int = 8,
     # the shingle frame feeds four consumers (signatures, both sides of
     # the common-shingle join, sizes) — persist it so split+md5 run once
     sh = shingles(df, k, id_col, text_col).persist()
-    cands = minhash_lsh_candidates(df, k, n_perm, n_bands, id_col,
-                                   text_col, _shingles=sh)
+    # the band frame is consumed by BOTH sides of the bucket self-join,
+    # and an aliased self-join gets no ReusedExchange — without this
+    # persist the signature aggregation + band explode compute twice
+    # (the same doubled-subtree shape the r4 simhash fix removed; this
+    # is the r5 VERDICT #3 prescription). ~n_bands small rows/doc:
+    # spillable MEMORY_AND_DISK, released below with the shingles.
+    bands = minhash_bands(df, k, n_perm, n_bands, id_col, text_col,
+                          _shingles=sh).persist()
+    ca = bands.select(F.col(id_col).alias("doc_a"), "bucket")
+    cb = bands.select(F.col(id_col).alias("doc_b"), "bucket")
+    cands = (ca.join(cb, "bucket")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -143,7 +154,7 @@ def minhash_dedup_pairs(df: DataFrame, k: int = 3, n_perm: int = 8,
                    >= jaccard_num * (F.col("size_a") + F.col("size_b")
                                      - F.col("common")))
            .select("doc_a", "doc_b", "common", "size_a", "size_b"))
-    return _materialize_and_release(out, sh)
+    return _materialize_and_release(out, sh, bands)
 
 
 def ngram_jaccard_pairs_prefix(df: DataFrame, k: int = 3,

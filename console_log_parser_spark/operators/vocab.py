@@ -6,13 +6,24 @@ sampling / decontamination): the reference's operator inventory has no
 analog — these are the corpus-level statistics a tokenizer-training
 pipeline runs before any model sees a byte.
 
-Representation: a word's symbol sequence is ONE string with the
-symbols joined by ``chr(31)`` (ASCII unit separator — the corpus is
-verified control-char-free, so the join is unambiguous).  A BPE merge
-of the pair ``(L, R)`` is then a plain left-to-right non-overlapping
-``replace(s, L||US||R, L||R)`` — which is exactly the classic greedy
-BPE merge semantics ("aaa" + merge (a,a) -> [aa, a]) — and stays a
-single JVM-side string intrinsic instead of an array fold.
+Representation: a word's symbol sequence is ONE string with every
+symbol wrapped in its own ``chr(31)`` pair (ASCII unit separator —
+the corpus is verified control-char-free): ``US s1 USUS s2 USUS s3
+US``, i.e. symbols joined by a DOUBLE separator with single outer
+sentinels.  A BPE merge of the pair ``(L, R)`` is then a plain
+left-to-right non-overlapping
+``replace(s, US||L||US||US||R||US, US||L||R||US)`` — each match
+consumes only the INNER half of each boundary double, so the
+neighbouring symbols keep their own wrapping and consecutive merges
+still chain ("aaaa" + merge (a,a) -> [aa, aa]; "aaa" -> [aa, a]) —
+exactly the classic greedy BPE merge semantics, as a single JVM-side
+string intrinsic instead of an array fold.  The wrapping is what
+makes symbol boundaries unambiguous: with the naive single-separator
+join, ``replace(s, L||US||R, ..)`` can fire where L is merely a
+SUFFIX of a longer symbol (['xa','b'] would merge on (a,b) — the
+round-5 ADVICE defect); here a match requires the full ``US L US``
+unit, and neither engine's replace needs lookaround (DuckDB's RE2
+has none), so the Spark and oracle twins stay plain ``replace``.
 
 Scale design (100 TB corpus):
 - Everything operates on the DISTINCT-WORD frame weighted by word
@@ -82,18 +93,26 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text",
 
 def symbol_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct-word weighted symbol frame: (s, wc) where ``s`` is the
-    word's characters joined by US and ``wc`` its corpus count."""
+    word in the wrapped representation (module docstring: ``US c1 USUS
+    c2 ... US``) and ``wc`` its corpus count."""
     return (_words(docs, text_col)
             .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("wc"))
-            .select(F.array_join(F.expr(
-                "transform(sequence(1, char_length(w)), "
-                "i -> substring(w, i, 1))"), US).alias("s"), "wc"))
+            .select(F.concat(
+                F.lit(US),
+                F.array_join(F.expr(
+                    "transform(sequence(1, char_length(w)), "
+                    "i -> substring(w, i, 1))"), US + US),
+                F.lit(US)).alias("s"), "wc"))
 
 
 def _pair_counts(frame: DataFrame) -> DataFrame:
     """Weighted adjacent-symbol pair counts over a (s, wc) frame."""
+    # strip the two outer sentinels (exactly one US each end), then
+    # split on the double separator to recover the symbol array
     return (frame
-            .select("wc", F.split("s", US).alias("p"))
+            .select("wc", F.split(
+                F.expr("substring(s, 2, char_length(s) - 2)"),
+                US + US).alias("p"))
             .filter(F.size("p") >= 2)
             .select("wc", F.explode(F.expr(
                 "transform(sequence(1, size(p) - 1), "
@@ -127,7 +146,9 @@ def bpe_learn(docs: DataFrame, n_merges: int = 6,
             l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
             merges.append((step, l, r, l + r, cnt))
             nxt = frame.select(
-                F.replace(F.col("s"), F.lit(l + US + r), F.lit(l + r))
+                F.replace(F.col("s"),
+                          F.lit(US + l + US + US + r + US),
+                          F.lit(US + l + r + US))
                 .alias("s"), "wc").persist()
             nxt.count()  # materialize before releasing the parent
             frame.unpersist()
@@ -156,8 +177,9 @@ def bpe_encode_stats(docs: DataFrame,
     caller collects it from :func:`bpe_learn` (bounded: it is the
     merge table itself, n_merges rows, same bounded-collect contract
     as the IVF codebook). Each merge folds into the plan as a literal
-    ``replace(s, L||US||R, L||R)`` — left-to-right non-overlapping,
-    the greedy BPE application rule, all JVM-side string intrinsics.
+    ``replace`` over the boundary-wrapped representation (module
+    docstring) — left-to-right non-overlapping on whole symbols, the
+    greedy BPE application rule, all JVM-side string intrinsics.
 
     Plan shape: map-side explode + literal replace chain, then ONE
     doc-keyed partial+final aggregation — no join, no vocabulary
@@ -165,12 +187,17 @@ def bpe_encode_stats(docs: DataFrame,
     literal chain; there the same apply step becomes an Arrow-batched
     pandas UDF holding the merge trie (SCALE.md §5) — the plan shape
     (map + one agg) is unchanged, which is what this operator pins."""
-    sym = F.array_join(F.expr(
-        "transform(sequence(1, char_length(w)), "
-        "i -> substring(w, i, 1))"), US)
+    sym = F.concat(
+        F.lit(US),
+        F.array_join(F.expr(
+            "transform(sequence(1, char_length(w)), "
+            "i -> substring(w, i, 1))"), US + US),
+        F.lit(US))
     for left, right in merges:
-        sym = F.replace(sym, F.lit(left + US + right),
-                        F.lit(left + right))
+        sym = F.replace(sym, F.lit(US + left + US + US + right + US),
+                        F.lit(US + left + right + US))
+    # splitting the wrapped form on the DOUBLE separator yields one
+    # element per symbol (the single outer sentinels never pair up)
     per_word = (docs
                 .select(id_col,
                         F.explode(F.split(F.col(text_col), " "))
@@ -178,7 +205,7 @@ def bpe_encode_stats(docs: DataFrame,
                 .filter(F.col("w") != "")
                 .select(id_col,
                         F.char_length("w").alias("n_chars"),
-                        F.size(F.split(sym, US)).alias("n_tok")))
+                        F.size(F.split(sym, US + US)).alias("n_tok")))
     return (per_word.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
                  F.sum("n_tok").cast("long").alias("n_tokens"),
@@ -240,9 +267,14 @@ def vocab_growth(docs: DataFrame,
     the word key; the curve itself is a single row of conditional
     sums (one per checkpoint) unpivoted with ``stack`` — no second
     pass over the stream, no collect. All integer arithmetic."""
+    # filter empty strings BEFORE sizing/indexing: split on doubled or
+    # leading spaces yields '' entries, and counting those would slide
+    # checkpoint offsets past real tokens (r5 ADVICE fix — offsets and
+    # first-occurrence indices now both count only real tokens)
     sized = docs.select(
         id_col,
-        F.split(F.col(text_col), " ").alias("ws")
+        F.expr(f"filter(split({text_col}, ' '), w -> w != '')")
+        .alias("ws")
     ).select(id_col, "ws", F.size("ws").cast("long").alias("n_w"))
     from console_log_parser_spark.operators.packing import \
         global_prefix_sum
@@ -250,7 +282,6 @@ def vocab_growth(docs: DataFrame,
     toks = (cum
             .select((F.col("w_end") - F.col("n_w")).alias("off"),
                     F.posexplode("ws").alias("pos", "w"))
-            .filter(F.col("w") != "")
             .select((F.col("off") + F.col("pos")).alias("gidx"), "w"))
     first = toks.groupBy("w").agg(F.min("gidx").alias("first_idx"))
     # coalesce: an all-empty corpus leaves `first` with zero rows, and

@@ -64,7 +64,19 @@ def test_bpe_learn_stops_when_no_pairs_remain(spark):
 def test_symbol_words_weights_are_word_counts(spark):
     rows = {r["s"]: r["wc"] for r in
             symbol_words(_docs(spark, ["ab ab cd", "ab"])).collect()}
-    assert rows == {f"a{US}b": 3, f"c{US}d": 1}
+    # wrapped representation: US c1 USUS c2 US (module docstring)
+    assert rows == {f"{US}a{US}{US}b{US}": 3, f"{US}c{US}{US}d{US}": 1}
+
+
+def test_bpe_merge_requires_whole_symbols(spark):
+    """Regression (r5 ADVICE): a merge (a,b) must NOT fire where 'a'
+    is merely the suffix of a longer symbol. After step 1 merges
+    (x,a), the word 'xab' is [xa, b]; step 2's (a,b) must leave it
+    alone, so step 3 can still find the (xa, b) pair."""
+    m = bpe_learn(_docs(spark, ["xa xa xa xa ab ab ab xab"]),
+                  n_merges=3).collect()
+    assert [(r["step"], r["left"], r["right"], r["cnt"]) for r in m] == [
+        (1, "x", "a", 5), (2, "a", "b", 3), (3, "xa", "b", 1)]
 
 
 def test_oov_stats_hand_case(spark):
@@ -86,21 +98,35 @@ def test_vocab_join_is_broadcast_no_python_udf(spark):
     assert "BatchEvalPython" not in pairs_plan
 
 
+def _merge_syms(syms, left, right):
+    """Classic greedy left-to-right non-overlapping whole-symbol BPE
+    merge on a symbol list — the ground truth the string-replace
+    encoding must reproduce."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def _brute_encode(texts, merges):
-    """String-replace BPE application — the SAME left-to-right
-    non-overlapping replace semantics as the engine/oracle (a merge
-    whose left side is a suffix of a longer symbol CAN fire across
-    the boundary; both engines share that rule, so the brute must
-    too)."""
+    """Symbol-LIST BPE application (true whole-symbol semantics — a
+    merge whose left side is a suffix of a longer symbol must NOT
+    fire; r5 ADVICE fix, now shared by engine and oracle via the
+    wrapped-separator representation)."""
     out = {}
     for did, text in texts:
         words = [w for w in text.split(" ") if w]
         n_tok = n_chars = 0
         for w in words:
-            s = US.join(w)
+            syms = list(w)
             for left, right in merges:
-                s = s.replace(left + US + right, left + right)
-            n_tok += len(s.split(US))
+                syms = _merge_syms(syms, left, right)
+            n_tok += len(syms)
             n_chars += len(w)
         if words:
             out[did] = (len(words), n_tok, n_chars - n_tok)
@@ -119,6 +145,17 @@ def test_bpe_encode_matches_string_replace_brute(spark):
     got = {r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_saved"])
            for r in bpe_encode_stats(df, merges).collect()}
     assert got == _brute_encode(texts, merges)
+
+
+def test_bpe_encode_whole_symbol_guard(spark):
+    """'xab' + merges [(x,a), (a,b)]: after (x,a) the word is [xa, b];
+    (a,b) must not fire across the symbol boundary (old flawed replace
+    produced the single token 'xab')."""
+    from console_log_parser_spark.operators.vocab import bpe_encode_stats
+    df = spark.createDataFrame([("1", "xab")],
+                               "doc_id string, text string")
+    r = bpe_encode_stats(df, [("x", "a"), ("a", "b")]).collect()[0]
+    assert (r["n_words"], r["n_tokens"], r["n_saved"]) == (1, 2, 1)
 
 
 def test_bpe_encode_no_merges_is_char_count(spark):
@@ -140,10 +177,15 @@ def test_bpe_encode_plan_is_map_plus_one_agg(spark):
 
 
 def _growth_ref(texts, cps):
+    # only REAL tokens occupy stream slots (r5 ADVICE fix: empty
+    # strings from doubled/leading spaces or empty docs no longer
+    # consume a checkpoint offset)
     first, g = {}, 0
     for _, txt in sorted(texts):
         for w in txt.split(" "):
-            if w != "" and w not in first:
+            if w == "":
+                continue
+            if w not in first:
                 first[w] = g
             g += 1
     return [(c, min(c, g), sum(1 for v in first.values() if v < c))
@@ -157,8 +199,8 @@ def test_vocab_growth_matches_reference(spark):
     df = spark.createDataFrame(texts, "doc_id long, text string")
     got = [(r["checkpoint"], r["tokens_seen"], r["vocab_size"])
            for r in vocab_growth(df, checkpoints=cps).collect()]
-    # note doc 2: split('') == [''] occupies one stream slot but
-    # never enters the vocabulary — pinned by the reference too
+    # note doc 2: split('') == [''] is filtered out — it occupies NO
+    # stream slot (r5 fix) — pinned by the reference too
     assert got == _growth_ref(texts, cps)
 
 
@@ -188,12 +230,14 @@ def test_word_freq_spectrum_matches_reference(spark):
 
 
 def test_vocab_growth_degenerate_all_empty_corpus(spark):
-    # every text empty: split('') slots fill the stream but the
-    # vocabulary is empty — the curve must read 0 (engine coalesces
-    # the over-zero-rows sums; oracle uses scalar-subquery COUNTs)
+    # every text empty: since the r5 ADVICE fix, '' split slots are
+    # filtered BEFORE sizing, so the stream holds zero real tokens —
+    # tokens_seen and vocab_size both read 0 at every checkpoint
+    # (engine coalesces the over-zero-rows sums; oracle uses
+    # scalar-subquery COUNTs over the same filtered list)
     from console_log_parser_spark.operators.vocab import vocab_growth
     df = spark.createDataFrame([(0, ""), (1, "")],
                                "doc_id long, text string")
     got = [(r["checkpoint"], r["tokens_seen"], r["vocab_size"])
            for r in vocab_growth(df, checkpoints=(1, 4)).collect()]
-    assert got == [(1, 1, 0), (4, 2, 0)]
+    assert got == [(1, 0, 0), (4, 0, 0)]
