@@ -362,6 +362,18 @@ def main():
     pipeline_sec = sorted(timed)[1]
     timings["pipeline_parse_route_aggregate"] = round(pipeline_sec, 3)
 
+    # The pipeline section above tunes maxPartitionBytes for the
+    # amplified tokens table (split sized so the parse scan gets
+    # cpus*3 tasks). Leaking that split into the ad-hoc queries below
+    # mis-shapes THEIR plans against much smaller inputs — at sf0.1 it
+    # shrank the bound to ~3 MB, flipping range_partitioned_lag's
+    # auto-narrow gate so events_asof_interleave paid a 32-way range
+    # exchange for a 0.8 MB input (r4 bench: 0.93 s vs 0.36 s). Ad-hoc
+    # queries measure what a user running ONE query on a default
+    # session pays, so restore the session default first.
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+                   str(134217728))
+
     bench_queries = [
         "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
         "q_top_customers_window", "events_sessionize",

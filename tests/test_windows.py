@@ -120,6 +120,68 @@ def test_auto_narrows_small_input_to_single_partition(spark):
     assert got == want
 
 
+def _band_parquet(spark, tmp_path, with_string: bool):
+    """A parquet scan whose Catalyst byte estimate lands INSIDE the
+    ambiguous band (est <= bound < 4*est): compressed fits one
+    partition, 4x-decompressed would not. xxhash64 values defeat
+    dictionary/RLE so the file size tracks raw width."""
+    df = (spark.range(5000)
+          .select(F.col("id").alias("ts"),
+                  F.xxhash64("id").alias("k"),
+                  (F.xxhash64("id", F.lit(1)) % 100).alias("v")))
+    if with_string:
+        df = df.withColumn("v", F.concat(F.lit("s"), F.col("v")))
+    path = str(tmp_path / f"band_{int(with_string)}.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    scan = spark.read.parquet(path)
+    est = int(scan._jdf.queryExecution().optimizedPlan()
+              .stats().sizeInBytes())
+    # bound: >= est (in band), >= rows * UnsafeRow width 32 (so the
+    # fixed-width probe passes), and < 4*est (still in band)
+    bound = max(est, 5000 * 32) + 1024
+    assert est <= bound < 4 * est, (est, bound)
+    return scan, bound
+
+
+@pytest.mark.parametrize("with_string,expect_range", [(False, False),
+                                                      (True, True)])
+def test_band_probe_gates_on_exact_rows_for_fixed_width(
+        spark, tmp_path, with_string, expect_range):
+    # ambiguous band (est <= bound < 4*est): an all-fixed-width schema
+    # is row-count-probed (rows * UnsafeRow width <= bound -> single
+    # partition); a var-width schema has no such bound and must stay
+    # on the scale-safe range path
+    scan, bound = _band_parquet(spark, tmp_path, with_string)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(bound))
+    try:
+        out = range_partitioned_lag(scan, ["ts", "k"], "v", "prev")
+        plan = out._jdf.queryExecution().executedPlan().toString().lower()
+        assert ("rangepartitioning" in plan) == expect_range
+        got = _rows(out, ["ts", "k"], "prev")
+        want = _rows(_naive_lag(scan, ["ts", "k"], "v", "prev"),
+                     ["ts", "k"], "prev")
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_unsafe_row_width():
+    from console_log_parser_spark.operators.windows import \
+        _unsafe_row_width
+    from pyspark.sql import types as T
+    fixed = T.StructType([T.StructField("a", T.LongType()),
+                          T.StructField("b", T.TimestampType()),
+                          T.StructField("c", T.IntegerType())])
+    assert _unsafe_row_width(fixed) == 8 + 3 * 8
+    var = T.StructType([T.StructField("a", T.LongType()),
+                        T.StructField("s", T.StringType())])
+    assert _unsafe_row_width(var) is None
+    wide = T.StructType([T.StructField(f"c{i}", T.LongType())
+                         for i in range(65)])
+    assert _unsafe_row_width(wide) == 16 + 65 * 8  # 2 bitset words
+
+
 def test_auto_keeps_range_path_when_estimate_exceeds_bound(spark):
     # shrink the bound so the same tiny input is "large": the
     # scale-safe range path must be chosen
