@@ -31,7 +31,8 @@ def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def ensure_tokens_table(spark, sf_dir: str, amplify: int | None = None) -> str:
+def ensure_tokens_table(spark, sf_dir: str, amplify: int | None = None,
+                        base: str | None = None) -> str:
     """Materialize the tokenized-log input table ONCE (untimed setup).
 
     The job under test is the real engine shape — scan an existing
@@ -69,7 +70,10 @@ def ensure_tokens_table(spark, sf_dir: str, amplify: int | None = None) -> str:
     # /dev/shm but fall back to disk when the estimate would eat more
     # than half the free tmpfs (RAM exhaustion kills the whole bench)
     est_bytes = n_docs * amplify * 6000
-    base = os.environ.get("SPARK_GRAFT_TOKENS_DIR")
+    # explicit base (marginal mode passes one so BOTH points of the
+    # two-point pair land on the SAME medium) > env override > auto
+    if base is None:
+        base = os.environ.get("SPARK_GRAFT_TOKENS_DIR")
     if base is None:
         base = tempfile.gettempdir()
         if os.path.isdir("/dev/shm"):
@@ -211,8 +215,24 @@ def marginal_pipeline_bench(spark, sf_dir, cpus):
         raise SystemExit(
             f"marginal mode needs AMPLIFY ({a_big}) > AMPLIFY_SMALL "
             f"({a_small})")
-    path_s = ensure_tokens_table(spark, sf_dir, a_small)
-    path_b = ensure_tokens_table(spark, sf_dir, a_big)
+    # Decide the storage medium ONCE for the pair: per-call auto
+    # choice could put the small table in tmpfs and the big one on
+    # disk (building the small table shrinks the free-tmpfs check the
+    # big table then fails), and a media split corrupts the two-point
+    # subtraction with I/O latency the estimator would attribute to
+    # per-doc cost (r5 review finding). Budget = BOTH tables' bytes.
+    base = os.environ.get("SPARK_GRAFT_TOKENS_DIR")
+    if base is None:
+        import shutil as _sh
+        base = tempfile.gettempdir()
+        if os.path.isdir("/dev/shm"):
+            n_docs_est = spark.read.parquet(
+                f"{sf_dir}/documents.parquet").count()
+            pair_bytes = n_docs_est * (a_small + a_big) * 6000
+            if pair_bytes <= _sh.disk_usage("/dev/shm").free // 2:
+                base = "/dev/shm"
+    path_s = ensure_tokens_table(spark, sf_dir, a_small, base=base)
+    path_b = ensure_tokens_table(spark, sf_dir, a_big, base=base)
     # split sized for the BIG table; the small table's files are ~4x
     # smaller than the big table's, and both stay below the split +
     # openCost packing threshold, so each parquet file (= one row
@@ -316,6 +336,7 @@ def main():
     # run is within 15% of the best so far (>=2 warm-ups, <=6), then
     # report the median of 3 timed runs. All runs are printed for
     # transparency.
+    orig_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     tokens_path = ensure_tokens_table(spark, sf_dir)  # untimed setup
     # split the scan so each core gets ~3 tasks per wave: stragglers
     # rebalance instead of serializing the stage on its slowest task.
@@ -370,9 +391,10 @@ def main():
     # auto-narrow gate so events_asof_interleave paid a 32-way range
     # exchange for a 0.8 MB input (r4 bench: 0.93 s vs 0.36 s). Ad-hoc
     # queries measure what a user running ONE query on a default
-    # session pays, so restore the session default first.
-    spark.conf.set("spark.sql.files.maxPartitionBytes",
-                   str(134217728))
+    # session pays, so restore the value the session started with
+    # (not a hard-coded Spark default — the user may have configured
+    # their own).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", orig_split)
 
     bench_queries = [
         "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",

@@ -106,11 +106,14 @@ def minhash_bands(df: DataFrame, k: int = 3, n_perm: int = 8,
 def minhash_lsh_candidates(df: DataFrame, k: int = 3, n_perm: int = 8,
                            n_bands: int = 4, id_col: str = "doc_id",
                            text_col: str = "text",
-                           _shingles: DataFrame | None = None) -> DataFrame:
+                           _shingles: DataFrame | None = None,
+                           _bands: DataFrame | None = None) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs
-    (doc_a < doc_b, distinct)."""
-    bands = minhash_bands(df, k, n_perm, n_bands, id_col, text_col,
-                          _shingles)
+    (doc_a < doc_b, distinct). ``_bands`` injects a precomputed
+    (usually persisted) band frame, same contract as ``_shingles`` —
+    the pairing rule lives HERE only, so every consumer shares it."""
+    bands = _bands if _bands is not None else minhash_bands(
+        df, k, n_perm, n_bands, id_col, text_col, _shingles)
     a = bands.select(F.col(id_col).alias("doc_a"), "bucket")
     b = bands.select(F.col(id_col).alias("doc_b"), "bucket")
     return (a.join(b, "bucket")
@@ -135,11 +138,8 @@ def minhash_dedup_pairs(df: DataFrame, k: int = 3, n_perm: int = 8,
     # spillable MEMORY_AND_DISK, released below with the shingles.
     bands = minhash_bands(df, k, n_perm, n_bands, id_col, text_col,
                           _shingles=sh).persist()
-    ca = bands.select(F.col(id_col).alias("doc_a"), "bucket")
-    cb = bands.select(F.col(id_col).alias("doc_b"), "bucket")
-    cands = (ca.join(cb, "bucket")
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b").distinct())
+    cands = minhash_lsh_candidates(df, k, n_perm, n_bands, id_col,
+                                   text_col, _bands=bands)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

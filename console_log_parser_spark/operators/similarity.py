@@ -228,6 +228,12 @@ def ivf_centroid_mod(n: int) -> int:
     return max(2, n // max(1, math.isqrt(n)))
 
 
+# absolute codebook cap: sqrt(10^12), the largest corpus SCALE.md
+# designs the ANN layer for; 10^6 64-dim rows ~ 256 MB on the driver,
+# the outer edge of a justified broadcast
+IVF_MAX_CODEBOOK_ROWS = 1_000_000
+
+
 def ivf_assign(emb: DataFrame, centroid_mod: int | None = None,
                vec_col: str = "embedding", dim: int = 64) -> DataFrame:
     """IVF coarse quantizer with a deterministic codebook: centroids
@@ -239,26 +245,30 @@ def ivf_assign(emb: DataFrame, centroid_mod: int | None = None,
 
     ``centroid_mod`` defaults to ``ivf_centroid_mod(count)`` so the
     codebook is K ~ sqrt(n) rows — the ``collect()`` below is bounded
-    (10^6 small rows even at n = 10^12) and asserts it (round-4
-    verdict: the old fixed mod=43 collected n/43 rows, unbounded);
-    assignment is one matmul per Arrow batch against the broadcast
-    codebook."""
-    import math
-
+    (10^6 small rows even at n = 10^12; round-4 verdict: the old fixed
+    mod=43 collected n/43 rows, unbounded). The bound is enforced with
+    a distributed ``count()`` of the centroid frame BEFORE the collect
+    (a post-collect check would OOM the driver before it ever ran) and
+    is an ABSOLUTE row cap — sqrt of the largest corpus the module
+    designs for — so a small explicit mod on a small corpus stays
+    valid. Assignment is one matmul per Arrow batch against the
+    broadcast codebook."""
     import pandas as pd
     from pyspark.sql.types import LongType
 
     if centroid_mod is None:
         centroid_mod = ivf_centroid_mod(emb.count())
-    cent_rows = (emb.filter(F.col("vec_id") % centroid_mod == 1)
-                 .select("vec_id", vec_col).collect())
-    # boundedness invariant: the codebook must stay ~sqrt-sized; a
-    # caller passing a tiny explicit mod on a huge corpus should fail
-    # loudly here, not OOM the driver silently
-    assert len(cent_rows) <= 4 * math.isqrt(
-        max(1, len(cent_rows)) * centroid_mod) + centroid_mod, (
-        f"IVF codebook {len(cent_rows)} rows with mod={centroid_mod}: "
-        "not sqrt-bounded")
+    cent_frame = (emb.filter(F.col("vec_id") % centroid_mod == 1)
+                  .select("vec_id", vec_col))
+    n_cent = cent_frame.count()
+    if n_cent > IVF_MAX_CODEBOOK_ROWS:
+        raise ValueError(
+            f"IVF codebook would be {n_cent} rows with "
+            f"mod={centroid_mod} (cap {IVF_MAX_CODEBOOK_ROWS}, the "
+            "sqrt of the 10^12-vector design corpus): refusing the "
+            "unbounded driver collect — pass a larger centroid_mod "
+            "or let it default to ivf_centroid_mod(n)")
+    cent_rows = cent_frame.collect()
     cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
     cent_mat = quantize(np.array([r[vec_col] for r in cent_rows]))
     order = np.argsort(cent_ids)

@@ -273,8 +273,8 @@ def vocab_growth(docs: DataFrame,
     # first-occurrence indices now both count only real tokens)
     sized = docs.select(
         id_col,
-        F.expr(f"filter(split({text_col}, ' '), w -> w != '')")
-        .alias("ws")
+        F.filter(F.split(F.col(text_col), " "),
+                 lambda w: w != "").alias("ws")
     ).select(id_col, "ws", F.size("ws").cast("long").alias("n_w"))
     from console_log_parser_spark.operators.packing import \
         global_prefix_sum

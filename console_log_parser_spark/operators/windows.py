@@ -49,6 +49,31 @@ def _unsafe_row_width(schema: T.StructType) -> int | None:
     return 8 * ((n + 63) // 64) + 8 * n
 
 
+# logical-plan nodes whose full execution costs no more than the scan
+# itself — the only lineages the ambiguous-band row probe may run
+_PROBE_CHEAP_NODES = frozenset(
+    {"Project", "Filter", "Relation", "LocalRelation", "Range"})
+
+
+def _probe_cheap_plan(df: DataFrame) -> bool:
+    """True when the optimized logical plan is a bare
+    scan/project/filter lineage, so an eager ``count()`` costs one
+    bounded scan and nothing else. Any other node (Join, Aggregate,
+    Generate, Union, ...) makes the probe re-run real compute."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-")
+        if not node:
+            continue
+        name = node.split(" ", 1)[0].split("[", 1)[0]
+        if name and name not in _PROBE_CHEAP_NODES:
+            return False
+    return True
+
+
 def range_partitioned_lag(df: DataFrame, order_cols: list[str],
                           value_col: str, out_col: str,
                           num_partitions: int | None = None) -> DataFrame:
@@ -83,12 +108,21 @@ def range_partitioned_lag(df: DataFrame, order_cols: list[str],
             bound = int(spark.conf.get(
                 "spark.sql.files.maxPartitionBytes", str(128 << 20)))
             if stats.rowCount().isDefined():
-                # rowCount-backed estimate (Range, LocalRelation,
-                # materialized cache, CBO stats): sizeInBytes is a
-                # SEMANTIC rows-x-width size, already "decompressed",
-                # so it gates directly — no compression ambiguity,
-                # no safety factor (VERDICT r4 item 6).
-                if est <= bound:
+                # rowCount-backed stats (Range, LocalRelation,
+                # materialized cache, CBO): the row count is free. For
+                # a fixed-width schema, rows * UnsafeRow width is the
+                # EXACT sort-buffer size — gate on that, not on
+                # sizeInBytes, which for a materialized cache is the
+                # COMPRESSED columnar size (r5 review finding: an
+                # RLE-friendly cached frame could report 100 MB yet
+                # sort as 500 MB). Var-width schemas keep the 4x
+                # factor for the same reason.
+                rows = int(stats.rowCount().get())
+                w = _unsafe_row_width(df.schema)
+                if w is not None:
+                    if rows * w <= bound:
+                        n = 1
+                elif est * 4 <= bound:
                     n = 1
             elif est * 4 <= bound:
                 # 4x decompression safety factor (ADVICE r3): a scan
@@ -109,9 +143,16 @@ def range_partitioned_lag(df: DataFrame, order_cols: list[str],
                 # it is data-size-independent — at 100 TB the estimate
                 # exceeds the band and the probe never fires.
                 # Var-width schemas (strings) skip the probe: no row
-                # count bounds their decompressed size.
+                # count bounds their decompressed size. So do plans
+                # with compute above the scan (joins, aggregates,
+                # explodes): df.count() would execute that whole
+                # upstream once just to pick a width — only a bare
+                # scan/project/filter lineage is cheap enough to probe
+                # (r5 review finding).
                 w = _unsafe_row_width(df.schema)
-                if w is not None and df.count() * w <= bound:
+                if (w is not None
+                        and _probe_cheap_plan(df)
+                        and df.count() * w <= bound):
                     n = 1
         except Exception:
             pass

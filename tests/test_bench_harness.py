@@ -127,6 +127,41 @@ def test_main_reporting_path_end_to_end(tmp_path, monkeypatch, capsys):
     assert "0.675 raw" in readme and "0.850" in readme
 
 
+def test_readme_claim_honest_when_no_current_protocol_rows(
+        tmp_path, monkeypatch):
+    """A protocol bump starts the comparable-rows set at zero; the
+    README must say so, not silently relabel older-protocol rows as
+    current-protocol (r5 review finding: the `or all_vals` fallback
+    rendered an all-protocol median under a current-protocol
+    caption)."""
+    import json
+
+    import tools.bench_scaling as bs
+
+    repo = tmp_path / "repo"
+    (repo / "BENCH").mkdir(parents=True)
+    (repo / "README.md").write_text(
+        "# x\n\n"
+        "<!-- SCALING_CLAIM_BEGIN: rendered from "
+        "BENCH/scaling_history.jsonl by tools/bench_scaling.py; "
+        "do not hand-edit -->\n"
+        "<!-- SCALING_CLAIM_END -->\n")
+    # two valid rows, both OLDER protocol (position 1 -> protocol 1,
+    # explicit stamp 2) — zero protocol-3 rows
+    rows = [{"value": 0.5, "normalized_to_hw_ceiling": 0.6},
+            {"value": 0.7, "protocol": 2,
+             "normalized_to_hw_ceiling": 0.8}]
+    (repo / "BENCH" / "scaling_history.jsonl").write_text(
+        "".join(json.dumps(r) + "\n" for r in rows))
+    monkeypatch.setattr(bs, "REPO", str(repo))
+    bs.render_readme_claim()
+    readme = (repo / "README.md").read_text()
+    assert f"no valid protocol-{bs.PROTOCOL} rows yet" in readme
+    assert "0.600 raw" in readme  # all-history median still rendered
+    # the honest caption replaced the mislabeled one entirely
+    assert "valid current-protocol rows" not in readme
+
+
 def test_main_degenerate_marginal_invalidation(tmp_path, monkeypatch,
                                                capsys):
     """A level whose big-vs-small time difference collapsed into noise

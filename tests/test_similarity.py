@@ -94,6 +94,21 @@ def test_ivf_centroid_mod_sqrt_bounded():
         assert k <= 2 * math.isqrt(n) + 2, (n, m, k)
 
 
+def test_ivf_codebook_cap_refuses_unbounded_collect(emb, monkeypatch):
+    """The cap check runs BEFORE the collect (a post-collect assert
+    can't stop the OOM it guards against) and is an absolute row cap,
+    so a small explicit mod on a small corpus stays valid."""
+    import pytest
+
+    from console_log_parser_spark.operators import similarity as sim
+    # explicit small mod on a small corpus: fine (r5 review finding —
+    # the first cut's sqrt-relative assert wrongly rejected this)
+    sim.ivf_assign(emb, centroid_mod=43).limit(1).collect()
+    monkeypatch.setattr(sim, "IVF_MAX_CODEBOOK_ROWS", 3)
+    with pytest.raises(ValueError, match="codebook would be"):
+        sim.ivf_assign(emb, centroid_mod=2)
+
+
 def test_ivf_assign_matches_pure_python(emb):
     from console_log_parser_spark.operators import similarity as sim
     rows = emb.select("vec_id", "embedding").collect()

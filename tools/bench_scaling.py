@@ -208,16 +208,25 @@ def render_readme_claim():
         return
     all_vals = [h["value"] for _, h in valid]
     p2_vals = [h["value"] for i, h in valid
-               if _row_protocol(h, i) == PROTOCOL] or all_vals
+               if _row_protocol(h, i) == PROTOCOL]
     gen_vals = [h["value"] for _, h in valid if h.get("git_rev")]
     best = max((h for _, h in valid), key=lambda h: h["value"])
+    # No valid current-protocol rows yet (a protocol bump starts every
+    # generation at zero): say so explicitly rather than silently
+    # relabeling older-protocol rows as comparable (r5 review finding —
+    # the `or all_vals` fallback rendered an all-protocol median under
+    # a "current-protocol" caption).
+    proto_view = (
+        f"median **{_median(p2_vals):.3f}** over the {len(p2_vals)} "
+        f"valid protocol-{PROTOCOL} rows" if p2_vals else
+        f"no valid protocol-{PROTOCOL} rows yet (protocol bumped; "
+        "older-protocol medians above are not timing-comparable)")
     block = (
         f"8→32 scaling efficiency **{_median(all_vals):.3f} raw — the "
         f"median over all {len(all_vals)} valid harness invocations** "
         f"({len(history)} recorded; append-only ledger "
         "`BENCH/scaling_history.jsonl`). Comparable-protocol view: "
-        f"median **{_median(p2_vals):.3f}** over the {len(p2_vals)} "
-        "valid current-protocol rows"
+        + proto_view
         + (f", **{_median(gen_vals):.3f}** over the {len(gen_vals)} "
            "git-stamped current-generation rows" if gen_vals else "")
         + f". Best honest valid invocation: **{best['value']:.3f} raw"
