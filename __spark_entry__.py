@@ -1996,6 +1996,189 @@ def _kmeans_oracle(k: int = 10, dim: int = 64, pack: int = 16,
     return ", ".join(parts) + final_sql
 
 
+
+
+def doc_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (operators/bloom.py): the
+    benchmark slice's (doc_id % 25 == 0) word 3-grams inserted into a
+    4096-bit filter (k=2 md5 positions per gram) held as 64 packed
+    BIGINT (word_idx, bits) rows; the corpus probes it with two
+    broadcast LEFT joins on word index plus a string broadcast for
+    ground truth — per doc, total / Bloom-hit / exact-hit gram
+    occurrences and the filter's false positives. The FP set is pure
+    md5 arithmetic, so Spark and DuckDB flag byte-identical rows; no
+    false negatives by construction. Only corpus exchange: the
+    per-doc count. The filter frame replaces decontam.py's gram-string
+    broadcast at ~10 bits/gram — the sketch-broadcast scale path."""
+    from console_log_parser_spark.operators.bloom import (
+        bloom_contamination)
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return (bloom_contamination(corpus, bench, n=3, m_bits=4096)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "n_grams", "n_bloom", "n_exact", "n_false_pos"))
+
+
+def doc_dsir_scores(spark, sf_dir):
+    """DSIR importance scores (operators/dsir.py, Xie et al. 2023):
+    hashed-unigram (256 md5 buckets) floor-log2 likelihood ratios
+    between the benchmark slice (doc_id % 25 == 0) and the raw rest;
+    per raw doc, sum over word occurrences of bits(target+1) -
+    bits(raw+1). Both bucket-count frames are bounded by B and
+    broadcast; scoring is map-side; the only exchanges are the
+    per-doc sum and the top-20 TakeOrdered (score desc, doc_id)."""
+    from console_log_parser_spark.operators.dsir import dsir_scores
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 25 == 0)
+    raw = docs.filter(F.col("doc_id") % 25 != 0)
+    return (dsir_scores(raw, target, n_buckets=256)
+            .orderBy(F.desc("dsir_score"), F.asc("doc_id")).limit(20)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "n_words", "dsir_score"))
+
+
+def doc_semdedup(spark, sf_dir):
+    """SemDeDup (operators/semdedup.py, Abbas et al. 2023): integer
+    Lloyd k-means cells (k=10, 2 iters — the embedding_kmeans twin),
+    then WITHIN-cell pairs only, integer-exact cosine >= 9/10
+    (dot^2*100 >= 81*|a|^2*|b|^2, dot > 0), keep-lowest-id survivors.
+    Per-cell (n_vecs, n_sim_pairs, n_dups, n_kept). Pair cost is
+    bounded by cell size (k controls it) — the SemDeDup premise; one
+    exchange co-locates cells, everything else is in-cell."""
+    from console_log_parser_spark.operators.semdedup import (
+        semdedup_stats)
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup_stats(emb, k=10, n_iters=2).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "n_vecs", "n_sim_pairs", "n_dups", "n_kept")
+
+
+def embedding_pq_codes(spark, sf_dir):
+    """Product-quantization codes (operators/pq.py, Jegou et al.
+    2011): 64 dims -> 4 subspaces x 16 deterministic sub-centroids
+    (quantized subvectors of vec_id 0..15, the k-means seeding rule);
+    each vector becomes 4 argmin codes (packed-key tie-break to the
+    lowest code). Encoding is map-side against literal codebooks —
+    zero shuffle; at scale this is the 256 B -> 4 B/vector compaction
+    that makes exhaustive ADC scans feasible."""
+    from console_log_parser_spark.operators.pq import pq_codes
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_codes(emb).selectExpr(
+        "cast(vec_id as bigint) as vec_id",
+        "cast(c0 as bigint) as c0", "cast(c1 as bigint) as c1",
+        "cast(c2 as bigint) as c2", "cast(c3 as bigint) as c3")
+
+
+def ann_pq_top10(spark, sf_dir):
+    """PQ/ADC ANN search (operators/pq.py): the query vector's
+    (vec_id 0) distance to every sub-centroid is precomputed driver-
+    side (4 x 16 ints) and folded in as literal element_at lookups;
+    shortlist = top-50 by ADC (ties -> vec_id), exact integer-L2
+    re-rank of the shortlist -> top 10. Map-side scan + TakeOrdered;
+    only the 50 survivors join back for full vectors."""
+    from console_log_parser_spark.operators.pq import ann_pq_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_pq_topk(emb, query_vec_id=0, k=10, shortlist=50)
+
+
+def doc_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by language (operators/vocab.py): the 6
+    merges learned by doc_bpe_learn applied corpus-wide, then token /
+    word / char telemetry aggregated per ``lang`` — chars-per-token
+    and tokens-per-word in integer x100 fixed point (the fertility
+    numbers a multilingual tokenizer report tracks). Map-side encode +
+    one doc-keyed agg + one lang-keyed agg."""
+    from console_log_parser_spark.operators.vocab import (
+        bpe_encode_stats, bpe_learn)
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r["left"], r["right"])
+              for r in bpe_learn(docs, n_merges=6).collect()]
+    stats = bpe_encode_stats(docs.select("doc_id", "text"), merges)
+    per = stats.join(docs.select("doc_id", "lang"), "doc_id")
+    return (per.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("n_words"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 (F.sum("n_saved") + F.sum("n_tokens")).cast("long")
+                 .alias("n_chars"))
+            .select("lang", "n_docs", "n_words", "n_tokens", "n_chars",
+                    F.expr("(n_chars * 100) div n_tokens").cast("long")
+                    .alias("chars_per_token_x100"),
+                    F.expr("(n_tokens * 100) div n_words").cast("long")
+                    .alias("tokens_per_word_x100")))
+
+
+def _bpe_fertility_oracle(n_merges: int) -> str:
+    """DuckDB twin of doc_tokenizer_fertility: the shared BPE learn
+    CTE chain + nested-replace encode of _bpe_encode_oracle, finally
+    aggregated per documents.lang instead of per doc."""
+    ctes = _bpe_learn_ctes(n_merges)
+    enc = ("chr(31) || array_to_string(list_transform("
+           "range(1, length(w) + 1), "
+           "i -> w[i:i]), chr(31) || chr(31)) || chr(31)")
+    for k in range(1, n_merges + 1):
+        enc = ("replace({e}, (SELECT chr(31) || l || chr(31) || chr(31)"
+               " || r || chr(31) FROM t{k}), "
+               "(SELECT chr(31) || l || r || chr(31) FROM t{k}))"
+               .format(e=enc, k=k))
+    return ("WITH " + ",\n        ".join(ctes) + """,
+        docw AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents) WHERE w <> ''
+        ),
+        enc AS (
+            SELECT doc_id, length(w) AS n_chars,
+                   len(string_split(""" + enc + """,
+                       chr(31) || chr(31))) AS n_tok
+            FROM docw
+        ),
+        per_lang AS (
+            SELECT d.lang AS lang,
+                   COUNT(DISTINCT e.doc_id) AS n_docs,
+                   COUNT(*) AS n_words,
+                   CAST(SUM(e.n_tok) AS BIGINT) AS n_tokens,
+                   CAST(SUM(e.n_chars) AS BIGINT) AS n_chars
+            FROM enc e JOIN documents d USING (doc_id) GROUP BY 1
+        )
+        SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_words AS BIGINT) AS n_words, n_tokens, n_chars,
+               CAST((n_chars * 100) // n_tokens AS BIGINT)
+                   AS chars_per_token_x100,
+               CAST((n_tokens * 100) // n_words AS BIGINT)
+                   AS tokens_per_word_x100
+        FROM per_lang""")
+
+
+_SEMDEDUP_FINAL = """, n2 AS (
+        SELECT vec_id, comb % 16 AS cluster_id, q,
+               CAST(list_sum(list_transform(range(1, 65),
+                   i -> q[i] * q[i])) AS BIGINT) AS n2
+        FROM af),
+    pr AS (
+        SELECT a.cluster_id, a.vec_id AS va, b.vec_id AS vb,
+               CAST(list_sum(list_transform(range(1, 65),
+                   i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+               a.n2 AS na, b.n2 AS nb
+        FROM n2 a JOIN n2 b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id),
+    sim AS (SELECT * FROM pr
+            WHERE dot > 0 AND dot * dot * 100 >= 81 * na * nb),
+    dup AS (SELECT DISTINCT cluster_id, vb FROM sim),
+    pairs AS (SELECT cluster_id, COUNT(*) AS n_sim_pairs
+              FROM sim GROUP BY 1),
+    dups AS (SELECT cluster_id, COUNT(*) AS n_dups FROM dup GROUP BY 1),
+    base AS (SELECT cluster_id, COUNT(*) AS n_vecs FROM n2 GROUP BY 1)
+    SELECT CAST(base.cluster_id AS BIGINT) AS cluster_id,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(COALESCE(n_sim_pairs, 0) AS BIGINT) AS n_sim_pairs,
+           CAST(COALESCE(n_dups, 0) AS BIGINT) AS n_dups,
+           CAST(n_vecs - COALESCE(n_dups, 0) AS BIGINT) AS n_kept
+    FROM base LEFT JOIN pairs USING (cluster_id)
+              LEFT JOIN dups USING (cluster_id)"""
+
+
 _CLUSTER_PROFILE_FINAL = """
     SELECT CAST(af.comb % 16 AS BIGINT) AS cluster_id,
            COUNT(*)::BIGINT AS n_docs,
@@ -2076,7 +2259,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_word_topk": doc_word_topk,
         "doc_curation_pipeline": doc_curation_pipeline,
-        # --- rotated-out tail (positions 51-94): every entry
+        # --- NEW this round (positions 51-56): never driver-recorded
+        # yet; the r3-era aging bound (44 stale + 6 changed = the full
+        # top 50) takes precedence this round, so these wait one round
+        # for their first driver row — verified in
+        # CORRECTNESS_local_r05.json and first-in-line for r6 ---
+        "doc_bloom_decontaminate": doc_bloom_decontaminate,
+        "doc_dsir_scores": doc_dsir_scores,
+        "doc_semdedup": doc_semdedup,
+        "embedding_pq_codes": embedding_pq_codes,
+        "ann_pq_top10": ann_pq_top10,
+        "doc_tokenizer_fertility": doc_tokenizer_fertility,
+        # --- rotated-out tail (now positions 57-100): every entry
         # here has a driver-green row in CORRECTNESS_r04.json
         # (last round), is code-unchanged this round, and is
         # re-verified locally each round (rotation policy in
@@ -3864,6 +4058,175 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                        END) // count(*) AS BIGINT) AS oov_bp
             FROM j GROUP BY source
         """,
+        "doc_bloom_decontaminate": """
+            WITH words AS (
+                SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(w) - 1),
+                           i -> array_to_string(w[i:i+2], ' ')))
+                           AS gram
+                FROM words
+            ),
+            bench AS (
+                SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0
+            ),
+            pos AS (
+                SELECT ('0x' || substr(md5(gram), 1, 15))::BIGINT
+                           % 4096 AS p FROM bench
+                UNION ALL
+                SELECT ('0x' || substr(md5(gram), 16, 15))::BIGINT
+                           % 4096 FROM bench
+            ),
+            filt AS (
+                SELECT p // 32 AS widx,
+                       bit_or((1::BIGINT) << CAST(p % 32 AS INT))
+                           AS bits
+                FROM pos GROUP BY 1
+            ),
+            cg AS (
+                SELECT doc_id, gram,
+                       ('0x' || substr(md5(gram), 1, 15))::BIGINT
+                           % 4096 AS p1,
+                       ('0x' || substr(md5(gram), 16, 15))::BIGINT
+                           % 4096 AS p2
+                FROM g WHERE doc_id % 25 <> 0
+            ),
+            probed AS (
+                SELECT cg.doc_id,
+                       CASE WHEN COALESCE((f1.bits
+                                 >> CAST(cg.p1 % 32 AS INT)) & 1, 0) = 1
+                             AND COALESCE((f2.bits
+                                 >> CAST(cg.p2 % 32 AS INT)) & 1, 0) = 1
+                            THEN 1 ELSE 0 END AS bloom_hit,
+                       CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END
+                           AS exact_hit
+                FROM cg
+                LEFT JOIN filt f1 ON f1.widx = cg.p1 // 32
+                LEFT JOIN filt f2 ON f2.widx = cg.p2 // 32
+                LEFT JOIN bench b ON b.gram = cg.gram
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(bloom_hit) AS BIGINT) AS n_bloom,
+                   CAST(sum(exact_hit) AS BIGINT) AS n_exact,
+                   CAST(sum(bloom_hit) - sum(exact_hit) AS BIGINT)
+                       AS n_false_pos
+            FROM probed GROUP BY doc_id
+        """,
+        "doc_dsir_scores": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS word
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(word), 1, 15))::BIGINT
+                           % 256 AS bkt
+                FROM w
+            ),
+            tgt AS (SELECT bkt, count(*) AS c FROM b
+                    WHERE doc_id % 25 = 0 GROUP BY 1),
+            rawc AS (SELECT bkt, count(*) AS c FROM b
+                     WHERE doc_id % 25 <> 0 GROUP BY 1),
+            sc AS (
+                SELECT r.bkt,
+                       (length(format('{:b}', COALESCE(t.c, 0) + 1)) - 1)
+                       - (length(format('{:b}', r.c + 1)) - 1) AS s
+                FROM rawc r LEFT JOIN tgt t USING (bkt)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(s) AS BIGINT) AS dsir_score
+            FROM b JOIN sc USING (bkt)
+            WHERE doc_id % 25 <> 0
+            GROUP BY doc_id
+            ORDER BY dsir_score DESC, doc_id LIMIT 20
+        """,
+        "doc_semdedup": _kmeans_oracle(10, 64, 16, 2,
+                                       final_sql=_SEMDEDUP_FINAL),
+        "embedding_pq_codes": """
+            WITH qv AS (
+                SELECT vec_id, list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                              AS BIGINT)) AS q
+                FROM embeddings
+            ),
+            cent AS (SELECT vec_id AS cid, q AS c FROM qv
+                     WHERE vec_id < 16),
+            comb AS (
+                SELECT v.vec_id, j.j,
+                       MIN(CAST(list_sum(list_transform(range(1, 17),
+                           i -> (v.q[j.j * 16 + i] - c.c[j.j * 16 + i])
+                              * (v.q[j.j * 16 + i] - c.c[j.j * 16 + i])))
+                           AS BIGINT) * 32 + c.cid) AS k
+                FROM qv v CROSS JOIN range(0, 4) j(j) CROSS JOIN cent c
+                GROUP BY 1, 2
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(MAX(CASE WHEN j = 0 THEN k % 32 END)
+                        AS BIGINT) AS c0,
+                   CAST(MAX(CASE WHEN j = 1 THEN k % 32 END)
+                        AS BIGINT) AS c1,
+                   CAST(MAX(CASE WHEN j = 2 THEN k % 32 END)
+                        AS BIGINT) AS c2,
+                   CAST(MAX(CASE WHEN j = 3 THEN k % 32 END)
+                        AS BIGINT) AS c3
+            FROM comb GROUP BY vec_id
+        """,
+        "ann_pq_top10": """
+            WITH qv AS (
+                SELECT vec_id, list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                              AS BIGINT)) AS q
+                FROM embeddings
+            ),
+            cent AS (SELECT vec_id AS cid, q AS c FROM qv
+                     WHERE vec_id < 16),
+            comb AS (
+                SELECT v.vec_id, j.j,
+                       MIN(CAST(list_sum(list_transform(range(1, 17),
+                           i -> (v.q[j.j * 16 + i] - c.c[j.j * 16 + i])
+                              * (v.q[j.j * 16 + i] - c.c[j.j * 16 + i])))
+                           AS BIGINT) * 32 + c.cid) AS k
+                FROM qv v CROSS JOIN range(0, 4) j(j) CROSS JOIN cent c
+                GROUP BY 1, 2
+            ),
+            qvec AS (SELECT q FROM qv WHERE vec_id = 0),
+            adc AS (
+                SELECT j.j AS j, c.cid AS cid,
+                       CAST(list_sum(list_transform(range(1, 17),
+                           i -> (q0.q[j.j * 16 + i] - c.c[j.j * 16 + i])
+                              * (q0.q[j.j * 16 + i] - c.c[j.j * 16 + i])))
+                           AS BIGINT) AS d
+                FROM qvec q0 CROSS JOIN range(0, 4) j(j)
+                     CROSS JOIN cent c
+            ),
+            cdist AS (
+                SELECT co.vec_id, CAST(SUM(a.d) AS BIGINT) AS adc_dist
+                FROM comb co JOIN adc a
+                  ON a.j = co.j AND a.cid = co.k % 32
+                GROUP BY 1
+            ),
+            short AS (SELECT vec_id, adc_dist FROM cdist
+                      ORDER BY adc_dist, vec_id LIMIT 50),
+            ex AS (
+                SELECT s.vec_id, s.adc_dist,
+                       CAST(list_sum(list_transform(range(1, 65),
+                           i -> (v.q[i] - q0.q[i]) * (v.q[i] - q0.q[i])))
+                           AS BIGINT) AS exact_dist
+                FROM short s JOIN qv v USING (vec_id)
+                     CROSS JOIN qvec q0
+            )
+            SELECT vec_id, adc_dist, exact_dist FROM ex
+            ORDER BY exact_dist, vec_id LIMIT 10
+        """,
+        "doc_tokenizer_fertility": _bpe_fertility_oracle(6),
         "doc_decontaminate": """
             WITH words AS (
                 SELECT doc_id, string_split(text, ' ') AS w
