@@ -2109,6 +2109,71 @@ def doc_tokenizer_fertility(spark, sf_dir):
                     .alias("tokens_per_word_x100")))
 
 
+def stream_heavy_hitters(spark, sf_dir):
+    """Streaming heavy hitters (streaming/jobs.py
+    stateful_heavy_hitters) over a 2-file time-ordered stream: each of
+    8 user shards carries one Misra-Gries summary (width 2k = 280
+    counters — state bounded regardless of distinct users) across
+    micro-batches; after the drain, the final emission per shard is
+    the candidate set (the per-shard keep bound mg*2k > n_shard
+    deterministically retains every global heavy hitter — proof in
+    the job docstring), and a batch broadcast semi-join recount makes
+    the answer EXACT, hash-equal to the batch operator's SQL oracle
+    (support > 1/140, integer cross-multiplication)."""
+    import glob
+    import shutil
+    import tempfile
+
+    _ship_package(spark)
+    from console_log_parser_spark.streaming import jobs
+
+    d = tempfile.mkdtemp(prefix="stream_hh_")
+    src = f"{d}/src"
+    os.makedirs(src)
+    ev = _t(spark, sf_dir, "events").orderBy("ts", "event_id")
+    cut = ev.selectExpr("percentile_approx(ts, 0.5) p").first()["p"]
+    for i, part in enumerate((ev.filter(F.col("ts") <= cut),
+                              ev.filter(F.col("ts") > cut))):
+        pdir = f"{d}/p{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        for j, f in enumerate(sorted(glob.glob(f"{pdir}/*.parquet"))):
+            shutil.copy(f, f"{src}/{i:02d}_{j}.parquet")
+
+    _STREAM_SEQ[0] += 1
+    qname = f"stream_hh_{_STREAM_SEQ[0]}"
+    q = jobs.run_stateful_heavy_hitters(spark, src, f"{d}/ckpt", qname,
+                                        max_files_per_trigger=1)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming drain exceeded 300s — a partial memory "
+            "sink must fail loudly, not hash-mismatch quietly")
+    sink = spark.sql(f"SELECT * FROM {qname}")
+    # final emission per shard via a per-shard max window (a memory-
+    # sink self-join trips conflicting-attribute analysis); the sink
+    # is sketch-sized (shards x width x batches), so the window is
+    # trivially small
+    from pyspark.sql import Window
+    last = (sink.withColumn(
+        "_mb", F.max("batch_no").over(Window.partitionBy("shard")))
+        .filter(F.col("batch_no") == F.col("_mb")))
+    cands = (last
+             .filter(F.col("mg_cnt") * (2 * jobs.HH_K)
+                     > F.col("n_shard"))
+             .select("user_id").distinct())
+    events = _t(spark, sf_dir, "events")
+    total = events.select(F.count(F.lit(1)).alias("total"))
+    return (events
+            .join(F.broadcast(cands), "user_id", "left_semi")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * jobs.HH_K > F.col("total"))
+            .select("user_id", "cnt")
+            .orderBy("user_id"))
+
+
+
 def _bpe_fertility_oracle(n_merges: int) -> str:
     """DuckDB twin of doc_tokenizer_fertility: the shared BPE learn
     CTE chain + nested-replace encode of _bpe_encode_oracle, finally
@@ -2259,7 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_word_topk": doc_word_topk,
         "doc_curation_pipeline": doc_curation_pipeline,
-        # --- NEW this round (positions 51-56): never driver-recorded
+        # --- NEW this round (positions 51-57): never driver-recorded
         # yet; the r3-era aging bound (44 stale + 6 changed = the full
         # top 50) takes precedence this round, so these wait one round
         # for their first driver row — verified in
@@ -2270,7 +2335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq_codes": embedding_pq_codes,
         "ann_pq_top10": ann_pq_top10,
         "doc_tokenizer_fertility": doc_tokenizer_fertility,
-        # --- rotated-out tail (now positions 57-100): every entry
+        "stream_heavy_hitters": stream_heavy_hitters,
+        # --- rotated-out tail (now positions 58-101): every entry
         # here has a driver-green row in CORRECTNESS_r04.json
         # (last round), is code-unchanged this round, and is
         # re-verified locally each round (rotation policy in
@@ -4227,6 +4293,15 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             ORDER BY exact_dist, vec_id LIMIT 10
         """,
         "doc_tokenizer_fertility": _bpe_fertility_oracle(6),
+        # streaming MG + exact recount == the batch heavy-hitter set
+        "stream_heavy_hitters": """
+            WITH c AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY user_id
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+            SELECT user_id, cnt FROM c, n WHERE cnt * 140 > total
+        """,
         "doc_decontaminate": """
             WITH words AS (
                 SELECT doc_id, string_split(text, ' ') AS w

@@ -365,3 +365,90 @@ def run_stateful_transitions(spark: SparkSession, in_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+# ------------------------------------------------------------------
+# Streaming heavy hitters: sharded Misra-Gries state + exact recount
+
+HH_K = 140       # support denominator: heavy = cnt * K > total
+HH_SHARDS = 8    # state shards; production would md5-shard user ids
+HH_STATE_DDL = ("keys array<bigint>, counts array<bigint>, "
+                "n bigint, batch bigint")
+HH_OUT_DDL = ("shard long, batch_no long, user_id long, "
+              "mg_cnt long, n_shard long")
+
+
+def _hh_fn(key: tuple, pdf_iter: "Iterator[pd.DataFrame]",
+           state: GroupState) -> "Iterator[pd.DataFrame]":
+    """Streaming twin of ``operators/sketch.frequent_items``'s local
+    phase: each shard carries ONE Misra-Gries summary (width 2*HH_K
+    counters — bounded no matter how many distinct users the stream
+    ever sees) plus its running row count. Every micro-batch merges
+    the batch's exact value counts (``sketch.mg_merge``, the same
+    routine the batch operator's partitions use) and re-emits the
+    current summary; the final emission per shard (max batch_no) is
+    the candidate set. Survival guarantee, any shard sizes: a global
+    heavy hitter (cnt * K > n_total) has mg >= cnt - n_shard/(2K) >
+    n_total/K - n_shard/(2K) >= n_shard/(2K), so the keep rule
+    ``mg * 2K > n_shard`` deterministically retains it — the batch
+    operator's per-partition bound, carried across micro-batches."""
+    from console_log_parser_spark.operators.sketch import mg_merge
+    if state.exists:
+        keys, counts, n, batch = state.get
+        vc = pd.Series(list(counts), index=list(keys), dtype="int64")
+    else:
+        vc, n, batch = None, 0, 0
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        vc = mg_merge(vc, pdf["user_id"].value_counts(), 2 * HH_K)
+    batch += 1
+    if vc is None:
+        state.update(([], [], n, batch))
+        yield pd.DataFrame({
+            "shard": pd.Series([], dtype="int64"),
+            "batch_no": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "mg_cnt": pd.Series([], dtype="int64"),
+            "n_shard": pd.Series([], dtype="int64")})
+        return
+    state.update(([int(u) for u in vc.index],
+                  [int(c) for c in vc.values], int(n), int(batch)))
+    yield pd.DataFrame({
+        "shard": int(key[0]), "batch_no": int(batch),
+        "user_id": vc.index.astype("int64"),
+        "mg_cnt": vc.values.astype("int64"), "n_shard": int(n)})
+
+
+def stateful_heavy_hitters(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-shard Misra-Gries candidate
+    summaries with bounded state (applyInPandasWithState)."""
+    return (events
+            .withColumn("shard", F.col("user_id") % HH_SHARDS)
+            .groupBy("shard")
+            .applyInPandasWithState(
+                _hh_fn,
+                outputStructType=HH_OUT_DDL,
+                stateStructType=HH_STATE_DDL,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_stateful_heavy_hitters(spark: SparkSession, in_dir: str,
+                               checkpoint_dir: str, query_name: str,
+                               max_files_per_trigger: int = 1):
+    """Drive the sharded MG summaries over a file stream into a memory
+    sink (update mode); returns the started query. The exact-recount
+    phase runs as a BATCH join once the stream drains (the candidates
+    are a bounded frame; recounting is the same second phase the batch
+    operator uses)."""
+    events = (spark.readStream.schema(EVENTS_SCHEMA_DDL)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(in_dir))
+    out = stateful_heavy_hitters(events)
+    return (out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

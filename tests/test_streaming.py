@@ -256,3 +256,42 @@ def test_stateful_transitions_match_batch(spark, tmp_path_factory):
     # which only holds if every cross-batch boundary was counted
     n_users = len({r["user_id"] for r in rows})
     assert sum(v[0] for v in got.values()) == len(rows) - n_users
+
+def test_stateful_heavy_hitters_match_batch(spark, events_split_dir,
+                                            tmp_path_factory):
+    """The sharded Misra-Gries summaries over 4 time-ordered
+    micro-batches, followed by the exact-recount phase, must equal the
+    plain exact heavy-hitter set (support > 1/140) — and every
+    emission must respect the 2k-counter state bound."""
+    from console_log_parser_spark.streaming import jobs
+
+    ckpt = str(tmp_path_factory.mktemp("hh_ckpt"))
+    sq = jobs.run_stateful_heavy_hitters(
+        spark, events_split_dir, ckpt, query_name="hh_test",
+        max_files_per_trigger=1)
+    _wait(sq, 300)
+    sink = spark.sql("SELECT * FROM hh_test")
+    # bounded state: no emission carries more than width counters
+    per_emit = (sink.groupBy("shard", "batch_no")
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+    assert all(r["n"] <= 2 * jobs.HH_K for r in per_emit)
+    from pyspark.sql import Window
+    last = (sink.withColumn(
+        "_mb", F.max("batch_no").over(Window.partitionBy("shard")))
+        .filter(F.col("batch_no") == F.col("_mb")))
+    cands = (last.filter(F.col("mg_cnt") * (2 * jobs.HH_K)
+                         > F.col("n_shard"))
+             .select("user_id").distinct())
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet")
+    total = ev.count()
+    got = {(r["user_id"], r["cnt"]) for r in
+           (ev.join(cands, "user_id", "left_semi")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") * jobs.HH_K > total).collect())}
+    want = {(r["user_id"], r["cnt"]) for r in
+            (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .filter(F.col("cnt") * jobs.HH_K > total).collect())}
+    assert got == want and want  # non-degenerate: hitters exist
