@@ -2149,56 +2149,18 @@ def stream_heavy_hitters(spark, sf_dir):
             "streaming drain exceeded 300s — a partial memory "
             "sink must fail loudly, not hash-mismatch quietly")
     sink = spark.sql(f"SELECT * FROM {qname}")
-    # final emission per shard via a per-shard max window (a memory-
-    # sink self-join trips conflicting-attribute analysis); the sink
-    # is sketch-sized (shards x width x batches), so the window is
-    # trivially small
-    from pyspark.sql import Window
-    last = (sink.withColumn(
-        "_mb", F.max("batch_no").over(Window.partitionBy("shard")))
-        .filter(F.col("batch_no") == F.col("_mb")))
-    cands = (last
-             .filter(F.col("mg_cnt") * (2 * jobs.HH_K)
-                     > F.col("n_shard"))
-             .select("user_id").distinct())
-    events = _t(spark, sf_dir, "events")
-    total = events.select(F.count(F.lit(1)).alias("total"))
-    return (events
-            .join(F.broadcast(cands), "user_id", "left_semi")
-            .groupBy("user_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-            .crossJoin(F.broadcast(total))
-            .filter(F.col("cnt") * jobs.HH_K > F.col("total"))
-            .select("user_id", "cnt")
-            .orderBy("user_id"))
+    # finalize (last emission -> keep bound -> exact recount) lives in
+    # jobs.heavy_hitters_finalize so the driver query and the batch-
+    # equivalence test pin ONE implementation (r5 review finding)
+    return jobs.heavy_hitters_finalize(sink, _t(spark, sf_dir,
+                                                "events"))
 
 
 
 def _bpe_fertility_oracle(n_merges: int) -> str:
-    """DuckDB twin of doc_tokenizer_fertility: the shared BPE learn
-    CTE chain + nested-replace encode of _bpe_encode_oracle, finally
+    """DuckDB twin of doc_tokenizer_fertility: the shared encode CTEs
     aggregated per documents.lang instead of per doc."""
-    ctes = _bpe_learn_ctes(n_merges)
-    enc = ("chr(31) || array_to_string(list_transform("
-           "range(1, length(w) + 1), "
-           "i -> w[i:i]), chr(31) || chr(31)) || chr(31)")
-    for k in range(1, n_merges + 1):
-        enc = ("replace({e}, (SELECT chr(31) || l || chr(31) || chr(31)"
-               " || r || chr(31) FROM t{k}), "
-               "(SELECT chr(31) || l || r || chr(31) FROM t{k}))"
-               .format(e=enc, k=k))
-    return ("WITH " + ",\n        ".join(ctes) + """,
-        docw AS (
-            SELECT doc_id, w FROM (
-                SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                FROM documents) WHERE w <> ''
-        ),
-        enc AS (
-            SELECT doc_id, length(w) AS n_chars,
-                   len(string_split(""" + enc + """,
-                       chr(31) || chr(31))) AS n_tok
-            FROM docw
-        ),
+    return (_bpe_encode_ctes(n_merges) + """,
         per_lang AS (
             SELECT d.lang AS lang,
                    COUNT(DISTINCT e.doc_id) AS n_docs,
@@ -2451,12 +2413,14 @@ def _bpe_learn_oracle(n_merges: int) -> str:
             + "\n        UNION ALL ".join(finals))
 
 
-def _bpe_encode_oracle(n_merges: int) -> str:
-    """DuckDB twin of doc_bpe_encode: re-learn the merge table via the
-    shared CTE chain, then apply the ``n_merges`` merges to every
-    document word as NESTED scalar-subquery replaces (learning order =
-    application order, left-to-right non-overlapping in both engines)
-    and aggregate the per-doc token telemetry."""
+def _bpe_encode_ctes(n_merges: int) -> str:
+    """The shared learn chain + per-word encode CTEs: boundary-wrapped
+    symbol strings, ``n_merges`` NESTED scalar-subquery replaces
+    (learning order = application order, left-to-right non-overlapping
+    in both engines), ending in an ``enc(doc_id, n_chars, n_tok)`` CTE.
+    ONE copy of the tricky chr(31) sentinel idiom — doc_bpe_encode's
+    and doc_tokenizer_fertility's oracles both build on it (r5 review:
+    two hand-maintained copies of this fragment WILL desynchronize)."""
     ctes = _bpe_learn_ctes(n_merges)
     enc = ("chr(31) || array_to_string(list_transform("
            "range(1, length(w) + 1), "
@@ -2477,7 +2441,13 @@ def _bpe_encode_oracle(n_merges: int) -> str:
                    len(string_split(""" + enc + """,
                        chr(31) || chr(31))) AS n_tok
             FROM docw
-        )
+        )""")
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """DuckDB twin of doc_bpe_encode: the shared encode CTEs +
+    per-doc token telemetry."""
+    return (_bpe_encode_ctes(n_merges) + """
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                CAST(count(*) AS BIGINT) AS n_words,
                CAST(sum(n_tok) AS BIGINT) AS n_tokens,

@@ -54,14 +54,18 @@ def _pos(gram: Column, offset: int, m_bits: int) -> Column:
 
 def bloom_build(benchmark: DataFrame, n: int = 3,
                 m_bits: int = DEFAULT_M_BITS,
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                _grams: DataFrame | None = None) -> DataFrame:
     """(word_idx, bits): the m-bit filter over the benchmark's word
     n-grams as m/32 packed rows (32 bits per BIGINT word — see module
     docstring). One partial+final bit_or aggregation; absent word_idx
-    rows are all-zero words."""
-    grams = (benchmark
-             .select(F.explode(word_ngrams(text_col, n)).alias("gram"))
-             .distinct())
+    rows are all-zero words. ``_grams`` injects a precomputed distinct
+    gram frame (the ``_shingles`` contract) so callers that also need
+    the grams don't aggregate the benchmark twice."""
+    grams = _grams if _grams is not None else (
+        benchmark
+        .select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct())
     pos = grams.select(F.explode(F.array(
         _pos(F.col("gram"), 1, m_bits),
         _pos(F.col("gram"), 16, m_bits))).alias("pos"))
@@ -86,12 +90,13 @@ def bloom_contamination(docs: DataFrame, benchmark: DataFrame,
     every inserted gram's bits are set). The probe is two broadcast
     left joins on word_idx + one broadcast semi-probe for ground
     truth; the only corpus exchange is the per-doc aggregation."""
-    filt = bloom_build(benchmark, n, m_bits, text_col)
     bench_grams = (benchmark
                    .select(F.explode(word_ngrams(text_col, n))
                            .alias("gram"))
-                   .distinct()
-                   .withColumn("exact_hit", F.lit(1)))
+                   .distinct())
+    filt = bloom_build(benchmark, n, m_bits, text_col,
+                       _grams=bench_grams)
+    bench_grams = bench_grams.withColumn("exact_hit", F.lit(1))
     g = docs.select(
         F.col(id_col),
         F.explode(word_ngrams(text_col, n)).alias("gram"))

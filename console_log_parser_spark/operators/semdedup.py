@@ -58,7 +58,11 @@ def semdedup_stats(emb: DataFrame, k: int = 10, n_iters: int = 2,
     """Per-cluster SemDeDup summary, ordered by cluster_id:
     ``(cluster_id, n_vecs, n_sim_pairs, n_dups, n_kept)`` where a dup
     is a member with a similar smaller-id member in the same cell."""
-    m = semdedup_members(emb, k, n_iters, dim, vec_col)
+    # the member frame feeds both self-join sides AND the size
+    # aggregate; an aliased self-join gets no ReusedExchange, so
+    # without a persist the assignment scan + dot products run three
+    # times (the simhash doubled-subtree lesson, r5 review finding)
+    m = semdedup_members(emb, k, n_iters, dim, vec_col).persist()
     a = m.select("cluster_id", F.col("vec_id").alias("va"),
                  F.col("q").alias("qa"), F.col("n2").alias("na"))
     b = m.select("cluster_id", F.col("vec_id").alias("vb"),
@@ -72,23 +76,27 @@ def semdedup_stats(emb: DataFrame, k: int = 10, n_iters: int = 2,
                       * (tau_den * tau_den)
                       >= (tau_num * tau_num)
                       * F.col("na") * F.col("nb"))))
-    pair_counts = (sim.groupBy("cluster_id")
-                   .agg(F.count(F.lit(1)).cast("long")
-                        .alias("n_sim_pairs")))
-    dup_counts = (sim.select("cluster_id", "vb").distinct()
-                  .groupBy("cluster_id")
-                  .agg(F.count(F.lit(1)).cast("long").alias("n_dups")))
+    # ONE aggregation over the (expensive) pair frame computes both
+    # counts — countDistinct(vb) IS the dup count, so the in-cell
+    # self-join executes exactly once
+    sim_counts = (sim.groupBy("cluster_id")
+                  .agg(F.count(F.lit(1)).cast("long")
+                       .alias("n_sim_pairs"),
+                       F.countDistinct("vb").cast("long")
+                       .alias("n_dups")))
     base = (m.groupBy("cluster_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_vecs")))
-    return (base
-            .join(pair_counts, "cluster_id", "left")
-            .join(dup_counts, "cluster_id", "left")
-            .select("cluster_id", "n_vecs",
-                    F.coalesce("n_sim_pairs", F.lit(0)).cast("long")
-                    .alias("n_sim_pairs"),
-                    F.coalesce("n_dups", F.lit(0)).cast("long")
-                    .alias("n_dups"),
-                    (F.col("n_vecs")
-                     - F.coalesce("n_dups", F.lit(0))).cast("long")
-                    .alias("n_kept"))
-            .orderBy("cluster_id"))
+    from console_log_parser_spark.operators.dedup import (
+        _materialize_and_release)
+    out = (base
+           .join(sim_counts, "cluster_id", "left")
+           .select("cluster_id", "n_vecs",
+                   F.coalesce("n_sim_pairs", F.lit(0)).cast("long")
+                   .alias("n_sim_pairs"),
+                   F.coalesce("n_dups", F.lit(0)).cast("long")
+                   .alias("n_dups"),
+                   (F.col("n_vecs")
+                    - F.coalesce("n_dups", F.lit(0))).cast("long")
+                   .alias("n_kept"))
+           .orderBy("cluster_id"))
+    return _materialize_and_release(out, m)

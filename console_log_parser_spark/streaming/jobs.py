@@ -434,6 +434,33 @@ def stateful_heavy_hitters(events: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def heavy_hitters_finalize(sink: DataFrame,
+                           events: DataFrame) -> DataFrame:
+    """The post-drain phase, in ONE place for the driver query and the
+    batch-equivalence test alike: take each shard's FINAL emission
+    (max batch_no, via a per-shard window — the sink is sketch-sized),
+    keep candidates by the survival bound ``mg*2k > n_shard`` (proof
+    in ``_hh_fn``), then recount exactly against the static events
+    frame — broadcast semi-join + integer threshold, the batch
+    operator's own second phase. Returns (user_id, cnt) ordered."""
+    from pyspark.sql import Window
+    last = (sink.withColumn(
+        "_mb", F.max("batch_no").over(Window.partitionBy("shard")))
+        .filter(F.col("batch_no") == F.col("_mb")))
+    cands = (last
+             .filter(F.col("mg_cnt") * (2 * HH_K) > F.col("n_shard"))
+             .select("user_id").distinct())
+    total = events.select(F.count(F.lit(1)).alias("total"))
+    return (events
+            .join(F.broadcast(cands), "user_id", "left_semi")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * HH_K > F.col("total"))
+            .select("user_id", "cnt")
+            .orderBy("user_id"))
+
+
 def run_stateful_heavy_hitters(spark: SparkSession, in_dir: str,
                                checkpoint_dir: str, query_name: str,
                                max_files_per_trigger: int = 1):

@@ -17,8 +17,13 @@ def emb(spark):
 
 
 def _q(vecs):
-    return [[int(np.floor(float(x) * 1000 + 0.5)) for x in v]
-            for v in vecs]
+    # round() in Spark/DuckDB is half-AWAY-FROM-ZERO; floor(x+0.5) is
+    # half-up and diverges on negative exact halves (r5 review
+    # finding; same trap documented for test_cluster's reference)
+    def r(x):
+        return int(np.floor(abs(float(x)) * 1000 + 0.5)) * \
+            (1 if x >= 0 else -1)
+    return [[r(x) for x in v] for v in vecs]
 
 
 # ---------------------------------------------------------------- semdedup

@@ -275,23 +275,13 @@ def test_stateful_heavy_hitters_match_batch(spark, events_split_dir,
     per_emit = (sink.groupBy("shard", "batch_no")
                 .agg(F.count(F.lit(1)).alias("n")).collect())
     assert all(r["n"] <= 2 * jobs.HH_K for r in per_emit)
-    from pyspark.sql import Window
-    last = (sink.withColumn(
-        "_mb", F.max("batch_no").over(Window.partitionBy("shard")))
-        .filter(F.col("batch_no") == F.col("_mb")))
-    cands = (last.filter(F.col("mg_cnt") * (2 * jobs.HH_K)
-                         > F.col("n_shard"))
-             .select("user_id").distinct())
     ev = spark.read.parquet(
         "/root/testdata/sf0.001/events.parquet")
-    total = ev.count()
     got = {(r["user_id"], r["cnt"]) for r in
-           (ev.join(cands, "user_id", "left_semi")
-            .groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .filter(F.col("cnt") * jobs.HH_K > total).collect())}
+           jobs.heavy_hitters_finalize(sink, ev).collect()}
+    total = ev.count()
     want = {(r["user_id"], r["cnt"]) for r in
             (ev.groupBy("user_id")
-             .agg(F.count(F.lit(1)).alias("cnt"))
+             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
              .filter(F.col("cnt") * jobs.HH_K > total).collect())}
     assert got == want and want  # non-degenerate: hitters exist
