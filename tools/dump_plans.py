@@ -188,6 +188,31 @@ SHOWN = [
      "partitioned lag window (bounded per-user streams), then the "
      "|types|^2-bounded partial+final agg with exact "
      "count_distinct(user)."),
+    ("doc_semdedup",
+     "SemDeDup: literal-centroid k-means assignment feeds a PERSISTED "
+     "member frame (InMemoryRelation on both self-join sides — the "
+     "in-cell integer-dot pair join executes once); pair+dup counts "
+     "come from ONE aggregation (countDistinct(vb) is the dup count), "
+     "then a k-row left join. The only fact exchange co-locates "
+     "cells."),
+    ("doc_bloom_decontaminate",
+     "Bloom decontamination: the m/32-word filter is a partial+final "
+     "bit_or agg over the benchmark side; the corpus probe is two "
+     "BroadcastHashJoins on word_idx plus one broadcast gram probe — "
+     "all map-side — and the only corpus-keyed exchange is the "
+     "per-doc partial+final count."),
+    ("ann_pq_top10",
+     "PQ/ADC search: codes and ADC lookups are LITERAL expressions "
+     "inside one whole-stage-codegen projection over the scan "
+     "(codebooks + query distance table folded in driver-side), then "
+     "TakeOrderedAndProject(50) -> a 50-row broadcast join back for "
+     "the exact integer re-rank -> TakeOrdered(10). The corpus is "
+     "scanned once and never shuffled."),
+    ("doc_dsir_scores",
+     "DSIR: both bucket-count frames aggregate to <= B rows and "
+     "BROADCAST; the word stream joins the score dim map-side, so "
+     "the plan's only fact exchanges are the per-doc partial+final "
+     "sum and the final top-20 TakeOrderedAndProject."),
 ]
 
 
