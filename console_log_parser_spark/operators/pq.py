@@ -27,7 +27,11 @@ table lookups + one TakeOrdered(50); only the 50 survivors join back
 to fetch full vectors for the exact re-rank. No corpus-sized shuffle
 anywhere. Production uses k_sub = 256 (one byte per code) and IVF
 cell-restricted scans on top; k_sub = 16 here because the synthetic
-corpus is small.
+corpus is small. The exact re-rank re-reads the vector table to fetch
+the shortlist's full vectors — a broadcast hash join against a second
+scan, fine at bench scale; at 10^12 vectors the table is bucketed by
+vec_id (tests/test_bucketing.py's layout), so those 50 fetches prune
+to point reads instead of a second pass.
 """
 from __future__ import annotations
 

@@ -205,9 +205,12 @@ SHOWN = [
      "PQ/ADC search: codes and ADC lookups are LITERAL expressions "
      "inside one whole-stage-codegen projection over the scan "
      "(codebooks + query distance table folded in driver-side), then "
-     "TakeOrderedAndProject(50) -> a 50-row broadcast join back for "
-     "the exact integer re-rank -> TakeOrdered(10). The corpus is "
-     "scanned once and never shuffled."),
+     "TakeOrderedAndProject(50) -> the 50-row shortlist BROADCAST "
+     "against a second scan for the exact integer re-rank -> "
+     "TakeOrdered(10). No shuffle anywhere; the re-fetch scan is "
+     "acceptable at bench scale — production keeps vectors "
+     "vec_id-bucketed so the 50 fetches are point reads, not a "
+     "second pass (pq.py docstring)."),
     ("doc_dsir_scores",
      "DSIR: both bucket-count frames aggregate to <= B rows and "
      "BROADCAST; the word stream joins the score dim map-side, so "
