@@ -2286,7 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_word_topk": doc_word_topk,
         "doc_curation_pipeline": doc_curation_pipeline,
-        # --- NEW this round (positions 51-57): never driver-recorded
+        # --- NEW this round (positions 51-58): never driver-recorded
         # yet; the r3-era aging bound (44 stale + 6 changed = the full
         # top 50) takes precedence this round, so these wait one round
         # for their first driver row — verified in
@@ -2298,7 +2298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_top10": ann_pq_top10,
         "doc_tokenizer_fertility": doc_tokenizer_fertility,
         "stream_heavy_hitters": stream_heavy_hitters,
-        # --- rotated-out tail (now positions 58-101): every entry
+        "ann_ivfpq_top10": ann_ivfpq_top10,
+        # --- rotated-out tail (now positions 59-102): every entry
         # here has a driver-green row in CORRECTNESS_r04.json
         # (last round), is code-unchanged this round, and is
         # re-verified locally each round (rotation policy in
@@ -2411,6 +2412,26 @@ def _bpe_learn_oracle(n_merges: int) -> str:
         for k in range(1, n_merges + 1)]
     return ("WITH " + ",\n        ".join(ctes) + "\n        "
             + "\n        UNION ALL ".join(finals))
+
+
+def ann_ivfpq_top10(spark, sf_dir):
+    """IVF x PQ — the canonical production ANN composition
+    (operators/similarity.py + operators/pq.py): probe the 2 IVF
+    cells nearest the query (sqrt-bounded deterministic codebook),
+    then rank ONLY the probed cells' members by the PQ/ADC table
+    distance (literal element_at lookups), shortlist 50, exact
+    integer-L2 re-rank to top 10. At scale the scan touches
+    nprobe * n/K vectors' 4-byte codes instead of the corpus's raw
+    floats — the IVF-PQ index structure of Jegou et al. expressed as
+    two composable DataFrame operators."""
+    _ship_package(spark)
+    from console_log_parser_spark.operators import similarity
+    from console_log_parser_spark.operators.pq import ann_pq_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    cands = similarity.ann_ivf_candidates(emb, query_vec_id=0)
+    return ann_pq_topk(emb, query_vec_id=0, k=10, shortlist=50,
+                       candidates=cands)
+
 
 
 def _bpe_encode_ctes(n_merges: int) -> str:
@@ -4263,6 +4284,57 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             ORDER BY exact_dist, vec_id LIMIT 10
         """,
         "doc_tokenizer_fertility": _bpe_fertility_oracle(6),
+        # IVF cand prefix (floor+0.5 quant, similarity.py convention)
+        # + PQ/ADC chain (round() quant, cluster.py convention) —
+        # each half mirrors its own engine twin exactly
+        "ann_ivfpq_top10": similarity.oracle_ivf_cte_prefix(0) + """,
+            qv AS (
+                SELECT vec_id, list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                              AS BIGINT)) AS q
+                FROM embeddings
+            ),
+            cent AS (SELECT vec_id AS cid, q AS c FROM qv
+                     WHERE vec_id < 16),
+            comb AS (
+                SELECT v.vec_id, j.j,
+                       MIN(CAST(list_sum(list_transform(range(1, 17),
+                           i -> (v.q[j.j * 16 + i] - c.c[j.j * 16 + i])
+                              * (v.q[j.j * 16 + i] - c.c[j.j * 16 + i])))
+                           AS BIGINT) * 32 + c.cid) AS k
+                FROM qv v JOIN cand USING (vec_id)
+                     CROSS JOIN range(0, 4) j(j) CROSS JOIN cent c
+                GROUP BY 1, 2
+            ),
+            qvec AS (SELECT q FROM qv WHERE vec_id = 0),
+            adc AS (
+                SELECT j.j AS j, c.cid AS cid,
+                       CAST(list_sum(list_transform(range(1, 17),
+                           i -> (q0.q[j.j * 16 + i] - c.c[j.j * 16 + i])
+                              * (q0.q[j.j * 16 + i] - c.c[j.j * 16 + i])))
+                           AS BIGINT) AS d
+                FROM qvec q0 CROSS JOIN range(0, 4) j(j)
+                     CROSS JOIN cent c
+            ),
+            cdist AS (
+                SELECT co.vec_id, CAST(SUM(a.d) AS BIGINT) AS adc_dist
+                FROM comb co JOIN adc a
+                  ON a.j = co.j AND a.cid = co.k % 32
+                GROUP BY 1
+            ),
+            short AS (SELECT vec_id, adc_dist FROM cdist
+                      ORDER BY adc_dist, vec_id LIMIT 50),
+            ex AS (
+                SELECT s.vec_id, s.adc_dist,
+                       CAST(list_sum(list_transform(range(1, 65),
+                           i -> (v.q[i] - q0.q[i]) * (v.q[i] - q0.q[i])))
+                           AS BIGINT) AS exact_dist
+                FROM short s JOIN qv v USING (vec_id)
+                     CROSS JOIN qvec q0
+            )
+            SELECT vec_id, adc_dist, exact_dist FROM ex
+            ORDER BY exact_dist, vec_id LIMIT 10
+        """,
         # streaming MG + exact recount == the batch heavy-hitter set
         "stream_heavy_hitters": """
             WITH c AS (

@@ -81,12 +81,18 @@ def _code_sql(j: int, sub_dim: int,
 
 def pq_codes(emb: DataFrame, n_sub: int = DEFAULT_N_SUB,
              k_sub: int = DEFAULT_K_SUB, dim: int = 64,
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             _books: list | None = None) -> DataFrame:
     """(vec_id, c0..c{n_sub-1}): the PQ code of every vector, one
-    column per subspace (map-side literal argmin, no shuffle)."""
+    column per subspace (map-side literal argmin, no shuffle).
+    ``_books`` injects codebooks trained on a DIFFERENT (usually
+    fuller) frame than the one being encoded — the IVF x PQ composer
+    encodes only the probed cells but the codebooks always come from
+    the whole corpus's seed rows."""
     assert dim % n_sub == 0 and k_sub <= PACK
     sub_dim = dim // n_sub
-    books = _sub_codebooks(emb, n_sub, k_sub, sub_dim, vec_col)
+    books = _books if _books is not None else _sub_codebooks(
+        emb, n_sub, k_sub, sub_dim, vec_col)
     exprs = ["vec_id"] + [
         f"{_code_sql(j, sub_dim, books[j])} as c{j}"
         for j in range(n_sub)]
@@ -100,14 +106,19 @@ def _sq_l2(a: list[int], b: list[int]) -> int:
 def ann_pq_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
                 shortlist: int = 50, n_sub: int = DEFAULT_N_SUB,
                 k_sub: int = DEFAULT_K_SUB, dim: int = 64,
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                candidates: DataFrame | None = None) -> DataFrame:
     """ADC search: shortlist by the PQ table distance, exact integer
     re-rank of the shortlist — ``(vec_id, adc_dist, exact_dist)``,
     top ``k`` by (exact_dist, vec_id).
 
     The ADC table (n_sub x k_sub ints) is computed driver-side from
     the query vector (1-row collect) and folded into the plan as
-    literal element_at lookups over the code columns."""
+    literal element_at lookups over the code columns. ``candidates``
+    (a vec_id frame, e.g. from ``similarity.ann_ivf_candidates``)
+    restricts the ADC scan to those rows — the IVF x PQ composition:
+    codebooks and the query still come from the FULL frame, so a
+    candidate set that excludes the seed rows changes nothing."""
     assert dim % n_sub == 0
     sub_dim = dim // n_sub
     books = _sub_codebooks(emb, n_sub, k_sub, sub_dim, vec_col)
@@ -119,7 +130,9 @@ def ann_pq_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
     adc = [[_sq_l2(qv[j * sub_dim:(j + 1) * sub_dim], books[j][c])
             for c in range(k_sub)]
            for j in range(n_sub)]
-    codes = pq_codes(emb, n_sub, k_sub, dim, vec_col)
+    scan = emb if candidates is None else emb.join(
+        candidates, "vec_id", "left_semi")
+    codes = pq_codes(scan, n_sub, k_sub, dim, vec_col, _books=books)
     dist = " + ".join(
         "element_at(array({t}), cast(c{j} as int) + 1)".format(
             t=",".join(f"{v}L" for v in adc[j]), j=j)

@@ -316,13 +316,15 @@ def ann_ivf_candidates(emb: DataFrame, query_vec_id: int,
             .select("vec_id"))
 
 
-def oracle_ivf_sql(query_vec_id: int = 0, k: int = 10,
-                   centroid_mod: int | None = None, nprobe: int = 2,
-                   dim: int = 64) -> str:
-    """DuckDB: identical IVF assign -> probe -> exact-cosine re-rank.
-    The codebook stride mirrors ivf_centroid_mod(): m = greatest(2,
-    n // floor(sqrt(n))) derived from the same count, so both engines
-    pick the identical ~sqrt(n)-sized codebook."""
+def oracle_ivf_cte_prefix(query_vec_id: int = 0,
+                          centroid_mod: int | None = None,
+                          nprobe: int = 2, dim: int = 64) -> str:
+    """The shared IVF CTE chain (through the ``cand`` candidate set):
+    identical assign -> probe in DuckDB, ONE copy for oracle_ivf_sql
+    and the IVF x PQ composition oracle. The codebook stride mirrors
+    ivf_centroid_mod(): m = greatest(2, n // floor(sqrt(n))) derived
+    from the same count, so both engines pick the identical
+    ~sqrt(n)-sized codebook."""
     mod_sql = (str(centroid_mod) if centroid_mod is not None else
                "(SELECT m FROM cm)")
     return f"""
@@ -352,7 +354,16 @@ def oracle_ivf_sql(query_vec_id: int = 0, k: int = 10,
                   ORDER BY d, cid LIMIT {nprobe}),
         cand AS (SELECT a.vec_id FROM assign a
                  JOIN probe p ON a.cid = p.cid
-                 WHERE a.vec_id <> {query_vec_id})
+                 WHERE a.vec_id <> {query_vec_id})"""
+
+
+def oracle_ivf_sql(query_vec_id: int = 0, k: int = 10,
+                   centroid_mod: int | None = None, nprobe: int = 2,
+                   dim: int = 64) -> str:
+    """DuckDB: identical IVF assign -> probe -> exact-cosine re-rank
+    (the shared CTE prefix + the cosine top-k tail)."""
+    return oracle_ivf_cte_prefix(
+        query_vec_id, centroid_mod, nprobe, dim) + f"""
         SELECT e.vec_id, e.label,
                round(list_cosine_similarity(e.v, q.v), 4) AS score
         FROM cand JOIN e ON e.vec_id = cand.vec_id

@@ -136,3 +136,25 @@ def test_ann_pq_shortlist_recall_vs_bruteforce(spark, emb):
     got = ann_pq_topk(emb, query_vec_id=0, k=10,
                       shortlist=len(rows)).collect()
     assert [(r["exact_dist"], r["vec_id"]) for r in got] == true
+
+def test_ann_ivfpq_candidates_restrict_and_rerank_exact(spark, emb):
+    # the composition searches ONLY the probed cells' members (query
+    # excluded), and with shortlist >= |candidates| the exact re-rank
+    # is the true integer-L2 top-10 WITHIN the candidate set
+    from console_log_parser_spark.operators.pq import ann_pq_topk
+    from console_log_parser_spark.operators.similarity import (
+        ann_ivf_candidates)
+    cand_ids = {r["vec_id"]
+                for r in ann_ivf_candidates(emb, 0).collect()}
+    assert cand_ids and 0 not in cand_ids
+    got = ann_pq_topk(emb, query_vec_id=0, k=10,
+                      shortlist=len(cand_ids) + 1,
+                      candidates=ann_ivf_candidates(emb, 0)).collect()
+    ids = [r["vec_id"] for r in got]
+    assert set(ids) <= cand_ids
+    rows = sorted((r["vec_id"], r["embedding"]) for r in emb.collect())
+    q = dict(zip([v for v, _ in rows], _q([e for _, e in rows])))
+    qv = q[0]
+    true = sorted((sum((a - b) * (a - b) for a, b in zip(v, qv)), vid)
+                  for vid, v in q.items() if vid in cand_ids)[:10]
+    assert [(r["exact_dist"], r["vec_id"]) for r in got] == true
