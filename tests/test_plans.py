@@ -87,9 +87,29 @@ def test_headline_queries_have_no_per_row_python(spark):
     for name in ("q1_pricing_summary", "q3_shipping_priority",
                  "events_sessionize", "doc_minhash_dedup",
                  "doc_simhash_pairs", "ann_bruteforce_top10",
-                 "doc_decontaminate", "doc_pack_sequences"):
+                 "doc_decontaminate", "doc_pack_sequences",
+                 # r5 additions: all built-ins/literal projections
+                 "doc_bloom_decontaminate", "doc_dsir_scores",
+                 "doc_semdedup", "embedding_pq_codes", "ann_pq_top10",
+                 "ann_ivfpq_top10", "doc_tokenizer_fertility"):
         plan = _plan(qs[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_bloom_and_dsir_probes_are_broadcast(spark):
+    """The sketch/dimension sides must reach the corpus as broadcast
+    hash joins — a shuffled probe would defeat both operators' scale
+    designs (map-side membership / map-side scoring)."""
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    import __spark_entry__ as em
+    qs = em.queries()
+    for name, min_bcast in (("doc_bloom_decontaminate", 3),
+                            ("doc_dsir_scores", 1)):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= min_bcast, name
+        assert "SortMergeJoin" not in plan, name
 
 
 def test_small_dims_broadcast_in_tpch_joins(spark):
