@@ -2286,7 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_word_topk": doc_word_topk,
         "doc_curation_pipeline": doc_curation_pipeline,
-        # --- NEW this round (positions 51-58): never driver-recorded
+        # --- NEW this round (positions 51-59): never driver-recorded
         # yet; the r3-era aging bound (44 stale + 6 changed = the full
         # top 50) takes precedence this round, so these wait one round
         # for their first driver row — verified in
@@ -2299,7 +2299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokenizer_fertility": doc_tokenizer_fertility,
         "stream_heavy_hitters": stream_heavy_hitters,
         "ann_ivfpq_top10": ann_ivfpq_top10,
-        # --- rotated-out tail (now positions 59-102): every entry
+        "events_sliding_rates": events_sliding_rates,
+        # --- rotated-out tail (now positions 60-103): every entry
         # here has a driver-green row in CORRECTNESS_r04.json
         # (last round), is code-unchanged this round, and is
         # re-verified locally each round (rotation policy in
@@ -2431,6 +2432,29 @@ def ann_ivfpq_top10(spark, sf_dir):
     cands = similarity.ann_ivf_candidates(emb, query_vec_id=0)
     return ann_pq_topk(emb, query_vec_id=0, k=10, shortlist=50,
                        candidates=cands)
+
+
+
+def events_sliding_rates(spark, sf_dir):
+    """Sliding event-time windows (2-day windows advancing 1 day, the
+    batch twin of the streaming windowed aggregates): per (window,
+    event_type), event count and exact distinct users. Spark plans
+    window() as a map-side 2-instance expansion + partial+final hash
+    agg — each row lands in exactly win/slide = 2 windows, so the
+    exchange carries 2x aggregated groups, never 2x the corpus. The
+    window start is epoch-aligned in both engines (Spark window()
+    alignment == DuckDB date_trunc('day') - i days), emitted as an
+    ISO date string so the compared schema is engine-neutral."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "2 days", "1 day")
+    return (ev.groupBy(w.alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.countDistinct("user_id").cast("long")
+                 .alias("n_users"))
+            .select(F.date_format("w.start", "yyyy-MM-dd")
+                    .alias("win_start"),
+                    "event_type", "n_events", "n_users")
+            .orderBy("win_start", "event_type"))
 
 
 
@@ -4334,6 +4358,27 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             )
             SELECT vec_id, adc_dist, exact_dist FROM ex
             ORDER BY exact_dist, vec_id LIMIT 10
+        """,
+        # each event lands in exactly 2 epoch-aligned sliding windows:
+        # date_trunc('day', ts) - i days for i in 0..1 == Spark's
+        # window(ts, '2 days', '1 day') instance expansion
+        "events_sliding_rates": """
+            WITH x AS (
+                SELECT unnest(range(0, 2)) AS i, ts, event_type,
+                       user_id
+                FROM events
+            ),
+            wins AS (
+                SELECT strftime(date_trunc('day', ts)
+                                - to_days(CAST(i AS INTEGER)),
+                                '%Y-%m-%d') AS win_start,
+                       event_type, user_id
+                FROM x
+            )
+            SELECT win_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM wins GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # streaming MG + exact recount == the batch heavy-hitter set
         "stream_heavy_hitters": """
