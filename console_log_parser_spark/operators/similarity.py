@@ -373,11 +373,11 @@ def oracle_ivf_sql(query_vec_id: int = 0, k: int = 10,
     """
 
 
-def oracle_lsh_sql(query_vec_id: int = 0, k: int = 10,
-                   dim: int = 64, l_tables: int = L_TABLES,
-                   b_bits: int = B_BITS) -> str:
-    """DuckDB SQL computing the identical LSH candidates + exact-cosine
-    re-rank (same integer quantization and hyperplane LCG)."""
+def oracle_lsh_cte_prefix(dim: int = 64, l_tables: int = L_TABLES,
+                          b_bits: int = B_BITS) -> str:
+    """The shared LSH CTE chain through ``sigs`` (per-vector bucket
+    ids from the identical LCG hyperplanes) — ONE copy for the
+    single-query oracle and the kNN-join oracle."""
     return f"""
         WITH e AS (SELECT vec_id, label,
                           CAST(embedding AS DOUBLE[]) AS v
@@ -408,7 +408,59 @@ def oracle_lsh_sql(query_vec_id: int = 0, k: int = 10,
                  GROUP BY w.vec_id, p.tb, p.j),
         sigs AS (SELECT vec_id, tb,
                         tb * 65536 + sum(bit * (1::BIGINT << j)) AS bucket
-                 FROM bits GROUP BY vec_id, tb),
+                 FROM bits GROUP BY vec_id, tb)"""
+
+
+def knn_join_lsh(emb: DataFrame, k: int = 3, dim: int = 64,
+                 vec_col: str = "embedding") -> DataFrame:
+    """Bucketed kNN JOIN — top-``k`` LSH-candidate neighbors for EVERY
+    vector at once (the hard-negative-mining / contrastive-pairs
+    primitive): explode each vector's L bucket ids, self-join on the
+    bucket (uniform hash keys, skew-free), rank candidates per query
+    by exact cosine (rounded to 4dp, ties -> lowest neighbor id — the
+    ann_* convention). Per-query candidate volume is bounded by the
+    bucket sizes; production raises b_bits ~ log2(n) so buckets stay
+    O(1) as the corpus grows. The exploded bucket frame is persisted —
+    both self-join sides read one computation of the pandas-UDF
+    signature stage (the aliased-self-join lesson) — and released
+    after the (tiny) result materializes."""
+    from console_log_parser_spark.operators.dedup import (
+        _materialize_and_release)
+    ex = (lsh_buckets(emb, vec_col, dim)
+          .select("vec_id", F.explode("buckets").alias("bucket"))
+          .persist())
+    a = ex.select(F.col("vec_id").alias("qid"), "bucket")
+    b = ex.select(F.col("vec_id").alias("nid"), "bucket")
+    pairs = (a.join(b, "bucket")
+             .filter(F.col("qid") != F.col("nid"))
+             .select("qid", "nid").distinct())
+    ea = emb.select(F.col("vec_id").alias("qid"),
+                    F.col(vec_col).cast("array<double>").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("nid"),
+                    F.col(vec_col).cast("array<double>").alias("vb"))
+    scored = (pairs.join(ea, "qid").join(eb, "nid")
+              .select("qid", "nid",
+                      F.round(cosine_expr(F.col("va"), F.col("vb")), 4)
+                      .alias("score")))
+    from pyspark.sql import Window
+    ranked = scored.withColumn(
+        "nn_rank", F.row_number().over(
+            Window.partitionBy("qid")
+            .orderBy(F.desc("score"), F.asc("nid"))))
+    out = (ranked.filter(F.col("nn_rank") <= k)
+           .select(F.col("qid").cast("long").alias("qid"),
+                   F.col("nn_rank").cast("long").alias("nn_rank"),
+                   F.col("nid").cast("long").alias("nid"), "score")
+           .orderBy("qid", "nn_rank"))
+    return _materialize_and_release(out, ex)
+
+
+def oracle_lsh_sql(query_vec_id: int = 0, k: int = 10,
+                   dim: int = 64, l_tables: int = L_TABLES,
+                   b_bits: int = B_BITS) -> str:
+    """DuckDB SQL computing the identical LSH candidates + exact-cosine
+    re-rank (same integer quantization and hyperplane LCG)."""
+    return oracle_lsh_cte_prefix(dim, l_tables, b_bits) + f""",
         qb AS (SELECT DISTINCT bucket FROM sigs
                WHERE vec_id = {query_vec_id}),
         cand AS (SELECT DISTINCT s.vec_id

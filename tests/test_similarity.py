@@ -191,3 +191,44 @@ def test_neardup_lsh_plan_is_bucketed_not_crossjoin(spark, emb):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+def test_knn_join_matches_pure_python(emb):
+    """Full independent replication: buckets via the same LCG
+    hyperplanes in numpy, candidates from shared buckets, cosine
+    rank per query. Neighbor ID sequences must match exactly; scores
+    are checked within float tolerance (python round() is banker's,
+    Spark's is half-up — the ids, not the 4dp text, are the claim
+    here; the DuckDB oracle does pin the rounded scores)."""
+    import math
+
+    from console_log_parser_spark.operators import similarity as sim
+    rows = sorted((r["vec_id"], list(r["embedding"]))
+                  for r in emb.collect())
+    ids = [v for v, _ in rows]
+    mat = np.array([e for _, e in rows])
+    sigs = sim._signatures_np(mat, sim.hyperplanes(64),
+                              sim.L_TABLES, sim.B_BITS)
+    buckets = {vid: set(sigs[i]) for i, vid in enumerate(ids)}
+    got = {}
+    for r in sim.knn_join_lsh(emb, k=3).collect():
+        got.setdefault(r["qid"], []).append((r["nn_rank"], r["nid"],
+                                             r["score"]))
+    vecs = {vid: mat[i] for i, vid in enumerate(ids)}
+
+    def cos(a, b):
+        d = float(np.dot(np.asarray(a, np.float64),
+                         np.asarray(b, np.float64)))
+        return d / (math.sqrt(float(np.dot(a, a)))
+                    * math.sqrt(float(np.dot(b, b))))
+
+    for qid in ids:
+        cands = [n for n in ids
+                 if n != qid and buckets[qid] & buckets[n]]
+        want = sorted(((round(cos(np.asarray(vecs[qid], np.float64),
+                                  np.asarray(vecs[n], np.float64)), 4),
+                        n) for n in cands),
+                      key=lambda t: (-t[0], t[1]))[:3]
+        have = sorted(got.get(qid, []))
+        assert [h[1] for h in have] == [n for _, n in want], qid
+        for (rk, nid, sc), (ws, wn) in zip(have, want):
+            assert abs(sc - ws) < 1e-3, (qid, nid, sc, ws)
