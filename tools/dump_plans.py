@@ -216,6 +216,18 @@ SHOWN = [
      "BROADCAST; the word stream joins the score dim map-side, so "
      "the plan's only fact exchanges are the per-doc partial+final "
      "sum and the final top-20 TakeOrderedAndProject."),
+    ("embedding_knn_join",
+     "kNN join: the exploded-bucket frame is persisted "
+     "(InMemoryRelation on both self-join sides -> the pandas-UDF "
+     "signature stage runs once), ONE bucket-keyed exchange makes "
+     "the candidate pairs, and the per-query rank is a qid-keyed "
+     "window behind two vector fetch joins. Pair volume is O(n*L), "
+     "never O(n^2)."),
+    ("events_sliding_rates",
+     "Sliding event-time windows: window('2 days','1 day') plans as "
+     "a map-side 2-instance expansion (Expand) + partial+final hash "
+     "agg — the exchange carries aggregated (window, type) groups, "
+     "not 2x the events."),
 ]
 
 
