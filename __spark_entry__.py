@@ -16,7 +16,7 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds more (103 as of round 5) — so the excess rotates out
+the dict holds more (104 as of round 5) — so the excess rotates out
 of the driver's hard signal every round. The dict is therefore ordered each round:
 (1) queries whose implementation CHANGED this round (they most need
 a fresh independent row) first, then (2) the queries whose last

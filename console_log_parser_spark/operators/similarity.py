@@ -125,6 +125,34 @@ def cosine_expr(a, b):
     return dot / (na * nb)
 
 
+def lsh_candidate_pairs(emb: DataFrame, l_tables: int = L_TABLES,
+                        b_bits: int = B_BITS, dim: int = 64,
+                        vec_col: str = "embedding",
+                        directed: bool = False):
+    """Distinct candidate pairs sharing >= 1 LSH bucket — the ONE
+    pair-generation rule for the near-dup and kNN-join operators
+    (r5 review: two hand-maintained copies of the bucket self-join
+    would diverge). ``directed=False`` -> unordered (vec_a < vec_b);
+    ``directed=True`` -> both directions as (qid, nid) for per-query
+    ranking. Returns ``(pairs, ex)`` where ``ex`` is the PERSISTED
+    exploded-bucket frame: both self-join sides read one computation
+    of the pandas-UDF signature stage (an aliased self-join gets no
+    ReusedExchange), and the CALLER releases it after materializing
+    its result (the _materialize_and_release lifecycle)."""
+    ex = (lsh_buckets(emb, vec_col, dim, l_tables, b_bits)
+          .select("vec_id", F.explode("buckets").alias("bucket"))
+          .persist())
+    a, b = ex.alias("a"), ex.alias("b")
+    cmp = (F.col("a.vec_id") != F.col("b.vec_id") if directed
+           else F.col("a.vec_id") < F.col("b.vec_id"))
+    left, right = ("qid", "nid") if directed else ("vec_a", "vec_b")
+    pairs = (a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & cmp)
+             .select(F.col("a.vec_id").alias(left),
+                     F.col("b.vec_id").alias(right))
+             .distinct())
+    return pairs, ex
+
+
 def neardup_lsh_pairs(emb: DataFrame, threshold: float = 0.45,
                       l_tables: int = 32, b_bits: int = 4,
                       dim: int = 64) -> DataFrame:
@@ -159,26 +187,22 @@ def neardup_lsh_pairs(emb: DataFrame, threshold: float = 0.45,
         "for a pair exactly at threshold = %.6f (rises toward 1 above "
         "it); pairs below threshold are filtered by exact verification",
         threshold, l_tables, b_bits, recall_at_thr)
+    from console_log_parser_spark.operators.dedup import (
+        _materialize_and_release)
     vecs = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-    with_b = lsh_buckets(emb, dim=dim, l_tables=l_tables, b_bits=b_bits)
-    ex = with_b.select("vec_id", F.explode("buckets").alias("bucket"))
-    a, b = ex.alias("a"), ex.alias("b")
-    cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"))
-            .distinct())
+    cand, ex = lsh_candidate_pairs(emb, l_tables, b_bits, dim)
     va = vecs.select(F.col("vec_id").alias("vec_a"),
                      F.col("v").alias("va"))
     vb = vecs.select(F.col("vec_id").alias("vec_b"),
                      F.col("v").alias("vb"))
-    return (cand.join(va, "vec_a").join(vb, "vec_b")
-            .select("vec_a", "vec_b",
-                    F.round(cosine_expr(F.col("va"), F.col("vb")), 4)
-                    .alias("score"))
-            .filter(F.col("score") >= threshold))
+    out = (cand.join(va, "vec_a").join(vb, "vec_b")
+           .select("vec_a", "vec_b",
+                   F.round(cosine_expr(F.col("va"), F.col("vb")), 4)
+                   .alias("score"))
+           .filter(F.col("score") >= threshold))
+    return _materialize_and_release(out, ex)
 
 
 def cosine_topk_vectorized(emb: DataFrame, query: np.ndarray, k: int = 10,
@@ -426,14 +450,8 @@ def knn_join_lsh(emb: DataFrame, k: int = 3, dim: int = 64,
     after the (tiny) result materializes."""
     from console_log_parser_spark.operators.dedup import (
         _materialize_and_release)
-    ex = (lsh_buckets(emb, vec_col, dim)
-          .select("vec_id", F.explode("buckets").alias("bucket"))
-          .persist())
-    a = ex.select(F.col("vec_id").alias("qid"), "bucket")
-    b = ex.select(F.col("vec_id").alias("nid"), "bucket")
-    pairs = (a.join(b, "bucket")
-             .filter(F.col("qid") != F.col("nid"))
-             .select("qid", "nid").distinct())
+    pairs, ex = lsh_candidate_pairs(emb, dim=dim, vec_col=vec_col,
+                                    directed=True)
     ea = emb.select(F.col("vec_id").alias("qid"),
                     F.col(vec_col).cast("array<double>").alias("va"))
     eb = emb.select(F.col("vec_id").alias("nid"),
