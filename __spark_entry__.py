@@ -16,7 +16,7 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds more (104 as of round 5) — so the excess rotates out
+the dict holds more (106 as of round 5) — so the excess rotates out
 of the driver's hard signal every round. The dict is therefore ordered each round:
 (1) queries whose implementation CHANGED this round (they most need
 a fresh independent row) first, then (2) the queries whose last
@@ -2286,7 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_word_topk": doc_word_topk,
         "doc_curation_pipeline": doc_curation_pipeline,
-        # --- NEW this round (positions 51-60): never driver-recorded
+        # --- NEW this round (positions 51-62): never driver-recorded
         # yet; the r3-era aging bound (44 stale + 6 changed = the full
         # top 50) takes precedence this round, so these wait one round
         # for their first driver row — verified in
@@ -2301,7 +2301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_top10": ann_ivfpq_top10,
         "events_sliding_rates": events_sliding_rates,
         "embedding_knn_join": embedding_knn_join,
-        # --- rotated-out tail (now positions 61-104): every entry
+        "doc_token_coverage": doc_token_coverage,
+        "doc_dedup_survivorship": doc_dedup_survivorship,
+        # --- rotated-out tail (now positions 63-106): every entry
         # here has a driver-green row in CORRECTNESS_r04.json
         # (last round), is code-unchanged this round, and is
         # re-verified locally each round (rotation policy in
@@ -2471,6 +2473,66 @@ def embedding_knn_join(spark, sf_dir):
     from console_log_parser_spark.operators.similarity import (
         knn_join_lsh)
     return knn_join_lsh(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+
+def doc_token_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (the tokenizer-budget planning stat):
+    share of all token occurrences covered by the top-K most frequent
+    words, K in (1, 3, 10, 30, 100), in integer basis points. One
+    corpus-keyed count agg collapses the stream to the |V|-bounded
+    type frame; the rank runs inside a single explicit partition of
+    that frame (repartition(1) + spark_partition_id — a real column,
+    so Catalyst cannot fold the partition spec away; |V| is
+    domain-bounded, ~10^7 types even at web scale, so the one-task
+    sort is over MBs, never the corpus); the curve itself is one
+    conditional-sum row unpivoted with stack, the vocab_growth
+    pattern."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (docs
+              .select(F.explode(F.split("text", " ")).alias("w"))
+              .filter(F.col("w") != "")
+              .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    from pyspark.sql import Window
+    one = (counts.repartition(1)
+           .withColumn("_pid", F.spark_partition_id()))
+    rk = (one.withColumn(
+        "rk", F.row_number().over(
+            Window.partitionBy("_pid")
+            .orderBy(F.desc("cnt"), F.asc("w")))))
+    ks = (1, 3, 10, 30, 100)
+    aggs = [F.sum("cnt").alias("total")] + [
+        F.coalesce(F.sum(F.when(F.col("rk") <= k, F.col("cnt"))),
+                   F.lit(0)).alias(f"c{k}") for k in ks]
+    row = rk.agg(*aggs)
+    stack = ", ".join(f"{k}L, c{k}" for k in ks)
+    return (row.selectExpr(
+        "total", f"stack({len(ks)}, {stack}) as (top_k, covered)")
+        .select(F.col("top_k").cast("long").alias("top_k"),
+                F.col("covered").cast("long").alias("tokens_covered"),
+                F.expr("(covered * 10000) div total").cast("long")
+                .alias("coverage_bp"))
+        .orderBy("top_k"))
+
+
+def doc_dedup_survivorship(spark, sf_dir):
+    """Exact-duplicate survivorship report: duplicate-group size
+    histogram with the docs and characters a keep-one dedup removes.
+    Same-text docs have identical n_chars, so chars_removed =
+    (size-1) * n_chars per group. Two skew-free exchanges: the
+    md5-keyed group agg, then the size-keyed histogram (bounded by
+    the max group size)."""
+    docs = _t(spark, sf_dir, "documents")
+    g = (docs.groupBy(F.md5("text").alias("h"))
+         .agg(F.count(F.lit(1)).alias("sz"),
+              F.min("n_chars").alias("nc")))
+    return (g.groupBy(F.col("sz").cast("long").alias("group_size"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_groups"),
+                 F.sum(F.col("sz") - 1).cast("long")
+                 .alias("docs_removed"),
+                 F.sum((F.col("sz") - 1) * F.col("nc")).cast("long")
+                 .alias("chars_removed"))
+            .orderBy("group_size"))
 
 
 
@@ -4374,6 +4436,38 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             )
             SELECT vec_id, adc_dist, exact_dist FROM ex
             ORDER BY exact_dist, vec_id LIMIT 10
+        """,
+        "doc_token_coverage": """
+            WITH w AS (SELECT unnest(list_filter(
+                           string_split(text, ' '), x -> x <> ''))
+                           AS w
+                       FROM documents),
+            c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+            r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w)
+                          AS rk
+                  FROM c),
+            t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+            SELECT CAST(v.k AS BIGINT) AS top_k,
+                   CAST(COALESCE(SUM(r.cnt), 0) AS BIGINT)
+                       AS tokens_covered,
+                   CAST((COALESCE(SUM(r.cnt), 0) * 10000)
+                        // (SELECT total FROM t) AS BIGINT)
+                       AS coverage_bp
+            FROM (VALUES (1), (3), (10), (30), (100)) v(k)
+            LEFT JOIN r ON r.rk <= v.k
+            GROUP BY v.k ORDER BY top_k
+        """,
+        "doc_dedup_survivorship": """
+            WITH g AS (
+                SELECT md5(text) AS h, count(*) AS sz,
+                       min(n_chars) AS nc
+                FROM documents GROUP BY 1
+            )
+            SELECT CAST(sz AS BIGINT) AS group_size,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(sz - 1) AS BIGINT) AS docs_removed,
+                   CAST(sum((sz - 1) * nc) AS BIGINT) AS chars_removed
+            FROM g GROUP BY 1 ORDER BY 1
         """,
         "embedding_knn_join": similarity.oracle_lsh_cte_prefix() + """,
             pairs AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
