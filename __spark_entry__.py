@@ -16,7 +16,7 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds more (106 as of round 5) — so the excess rotates out
+the dict holds more (108 as of round 5) — so the excess rotates out
 of the driver's hard signal every round. The dict is therefore ordered each round:
 (1) queries whose implementation CHANGED this round (they most need
 a fresh independent row) first, then (2) the queries whose last
@@ -2286,7 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_word_topk": doc_word_topk,
         "doc_curation_pipeline": doc_curation_pipeline,
-        # --- NEW this round (positions 51-62): never driver-recorded
+        # --- NEW this round (positions 51-64): never driver-recorded
         # yet; the r3-era aging bound (44 stale + 6 changed = the full
         # top 50) takes precedence this round, so these wait one round
         # for their first driver row — verified in
@@ -2303,7 +2303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_join": embedding_knn_join,
         "doc_token_coverage": doc_token_coverage,
         "doc_dedup_survivorship": doc_dedup_survivorship,
-        # --- rotated-out tail (now positions 63-106): every entry
+        "events_user_activity": events_user_activity,
+        "doc_char_diversity": doc_char_diversity,
+        # --- rotated-out tail (now positions 65-108): every entry
         # here has a driver-green row in CORRECTNESS_r04.json
         # (last round), is code-unchanged this round, and is
         # re-verified locally each round (rotation policy in
@@ -2533,6 +2535,63 @@ def doc_dedup_survivorship(spark, sf_dir):
                  F.sum((F.col("sz") - 1) * F.col("nc")).cast("long")
                  .alias("chars_removed"))
             .orderBy("group_size"))
+
+
+
+def events_user_activity(spark, sf_dir):
+    """Per-user activity distribution by event type: exact nearest-
+    rank percentiles of events-per-user (operators/stats.py sortless
+    histogram machinery — the doc_length_stats twin over the events
+    table). Two exchanges: the (type, user) count agg, then the
+    |types| x |count-domain|-bounded histogram; no corpus-sized
+    sort."""
+    from console_log_parser_spark.operators.stats import (
+        histogram_percentiles)
+    ev = _t(spark, sf_dir, "events")
+    per_user = (ev.groupBy("event_type", "user_id")
+                .agg(F.count(F.lit(1)).alias("n_ev")))
+    out = histogram_percentiles(per_user, "n_ev", "event_type")
+    return out.withColumnRenamed("n_docs", "n_users")
+
+
+def doc_char_diversity(spark, sf_dir):
+    """Character-diversity quality signal, integer-exact: per doc,
+    total characters, distinct characters, and the floor-log2
+    surprisal sum(cnt_c * (bits(n) - bits(cnt_c))) — the corpus-free
+    entropy proxy (a low value means one character dominates: the
+    repetition/garbage signature). Map-side char explode compresses
+    to <= |charset| rows per doc in the partial aggregation; the
+    per-doc agg is the only exchange. Top-20 by (surprisal desc,
+    doc_id) keeps the pin query tiny."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = (docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            # sequence(1, 0) DESCENDS in Spark (the word_ngrams
+            # guard): empty texts must yield an empty array, not two
+            # empty-string "characters"
+            "CASE WHEN char_length(text) >= 1 THEN "
+            "transform(sequence(1, char_length(text)), "
+            "i -> substring(text, i, 1)) ELSE array() END"))
+        .alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("cnt")))
+    per_doc = (ch.groupBy("doc_id")
+               .agg(F.sum("cnt").alias("n"),
+                    F.count(F.lit(1)).cast("long")
+                    .alias("n_distinct_chars")))
+    joined = (ch.join(per_doc, "doc_id")
+              .groupBy("doc_id")
+              .agg(F.max("n").cast("long").alias("n_chars"),
+                   F.max("n_distinct_chars").alias("n_distinct_chars"),
+                   F.sum(F.col("cnt")
+                         * ((F.length(F.bin(F.col("n"))) - 1)
+                            - (F.length(F.bin(F.col("cnt"))) - 1)))
+                   .cast("long").alias("surprisal")))
+    return (joined
+            .orderBy(F.desc("surprisal"), F.asc("doc_id")).limit(20)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "n_chars", "n_distinct_chars", "surprisal"))
 
 
 
@@ -4436,6 +4495,59 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             )
             SELECT vec_id, adc_dist, exact_dist FROM ex
             ORDER BY exact_dist, vec_id LIMIT 10
+        """,
+        "events_user_activity": """
+            WITH vals AS (
+                SELECT event_type, user_id, count(*) AS v
+                FROM events GROUP BY 1, 2
+            ),
+            hist AS (
+                SELECT event_type, v, count(*) AS cnt
+                FROM vals GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT event_type, v, cnt,
+                       sum(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY v) AS cum,
+                       sum(cnt) OVER (PARTITION BY event_type) AS n
+                FROM hist
+            )
+            SELECT event_type,
+                   CAST(max(n) AS BIGINT) AS n_users,
+                   CAST(min(v) AS BIGINT) AS min_v,
+                   CAST(min(CASE WHEN cum >= (25 * n + 99) // 100
+                            THEN v END) AS BIGINT) AS p25,
+                   CAST(min(CASE WHEN cum >= (50 * n + 99) // 100
+                            THEN v END) AS BIGINT) AS p50,
+                   CAST(min(CASE WHEN cum >= (75 * n + 99) // 100
+                            THEN v END) AS BIGINT) AS p75,
+                   CAST(min(CASE WHEN cum >= (95 * n + 99) // 100
+                            THEN v END) AS BIGINT) AS p95,
+                   CAST(max(v) AS BIGINT) AS max_v
+            FROM cum GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_char_diversity": """
+            WITH ch AS (
+                SELECT doc_id, unnest(list_transform(
+                           range(1, length(text) + 1),
+                           i -> text[i])) AS c
+                FROM documents
+            ),
+            h AS (SELECT doc_id, c, count(*) AS cnt
+                  FROM ch GROUP BY 1, 2),
+            d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                         count(*) AS nd
+                  FROM h GROUP BY 1)
+            SELECT CAST(h.doc_id AS BIGINT) AS doc_id,
+                   CAST(max(d.n) AS BIGINT) AS n_chars,
+                   CAST(max(d.nd) AS BIGINT) AS n_distinct_chars,
+                   CAST(sum(h.cnt *
+                        ((length(format('{:b}', d.n)) - 1)
+                         - (length(format('{:b}', h.cnt)) - 1)))
+                        AS BIGINT) AS surprisal
+            FROM h JOIN d USING (doc_id)
+            GROUP BY h.doc_id
+            ORDER BY surprisal DESC, doc_id LIMIT 20
         """,
         "doc_token_coverage": """
             WITH w AS (SELECT unnest(list_filter(
