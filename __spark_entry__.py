@@ -2523,9 +2523,18 @@ def doc_dedup_survivorship(spark, sf_dir):
     Same-text docs have identical n_chars, so chars_removed =
     (size-1) * n_chars per group. Two skew-free exchanges: the
     md5-keyed group agg, then the size-keyed histogram (bounded by
-    the max group size)."""
-    docs = _t(spark, sf_dir, "documents")
-    g = (docs.groupBy(F.md5("text").alias("h"))
+    the max group size). Duplicates are PLANTED (every 25th doc twice
+    more, identically in both engines — the doc_pii_redact pattern)
+    because the synthetic corpus has none; otherwise the sz > 1
+    arithmetic would never face the driver's oracle (r5 review
+    finding)."""
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars")
+    planted = base.filter(F.col("doc_id") % 25 == 0)
+    corpus = (base.select("text", "n_chars")
+              .union(planted.select("text", "n_chars"))
+              .union(planted.select("text", "n_chars")))
+    g = (corpus.groupBy(F.md5("text").alias("h"))
          .agg(F.count(F.lit(1)).alias("sz"),
               F.min("n_chars").alias("nc")))
     return (g.groupBy(F.col("sz").cast("long").alias("group_size"))
@@ -2559,9 +2568,11 @@ def doc_char_diversity(spark, sf_dir):
     total characters, distinct characters, and the floor-log2
     surprisal sum(cnt_c * (bits(n) - bits(cnt_c))) — the corpus-free
     entropy proxy (a low value means one character dominates: the
-    repetition/garbage signature). Map-side char explode compresses
-    to <= |charset| rows per doc in the partial aggregation; the
-    per-doc agg is the only exchange. Top-20 by (surprisal desc,
+    repetition/garbage signature). surprisal decomposes to
+    n*bits(n) - sum(cnt*bits(cnt)), so the map-side char explode
+    (compressed to <= |charset| rows per doc by the partial
+    aggregation) feeds ONE per-doc agg — the only exchanges are the
+    (doc, char) histogram and that agg. Top-20 by (surprisal desc,
     doc_id) keeps the pin query tiny."""
     docs = _t(spark, sf_dir, "documents")
     ch = (docs.select(
@@ -2576,18 +2587,20 @@ def doc_char_diversity(spark, sf_dir):
         .alias("c"))
         .groupBy("doc_id", "c")
         .agg(F.count(F.lit(1)).alias("cnt")))
-    per_doc = (ch.groupBy("doc_id")
-               .agg(F.sum("cnt").alias("n"),
-                    F.count(F.lit(1)).cast("long")
-                    .alias("n_distinct_chars")))
-    joined = (ch.join(per_doc, "doc_id")
-              .groupBy("doc_id")
-              .agg(F.max("n").cast("long").alias("n_chars"),
-                   F.max("n_distinct_chars").alias("n_distinct_chars"),
+    # surprisal decomposes: sum(cnt*(bits(n)-bits(cnt))) =
+    # n*bits(n) - sum(cnt*bits(cnt)) — so ONE per-doc aggregation
+    # suffices, no join-back of the total (r5 review finding)
+    joined = (ch.groupBy("doc_id")
+              .agg(F.sum("cnt").cast("long").alias("n_chars"),
+                   F.count(F.lit(1)).cast("long")
+                   .alias("n_distinct_chars"),
                    F.sum(F.col("cnt")
-                         * ((F.length(F.bin(F.col("n"))) - 1)
-                            - (F.length(F.bin(F.col("cnt"))) - 1)))
-                   .cast("long").alias("surprisal")))
+                         * (F.length(F.bin(F.col("cnt"))) - 1))
+                   .cast("long").alias("_s"))
+              .select("doc_id", "n_chars", "n_distinct_chars",
+                      (F.col("n_chars")
+                       * (F.length(F.bin(F.col("n_chars"))) - 1)
+                       - F.col("_s")).cast("long").alias("surprisal")))
     return (joined
             .orderBy(F.desc("surprisal"), F.asc("doc_id")).limit(20)
             .select(F.col("doc_id").cast("long").alias("doc_id"),
@@ -4570,10 +4583,19 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             GROUP BY v.k ORDER BY top_k
         """,
         "doc_dedup_survivorship": """
-            WITH g AS (
+            WITH corpus AS (
+                SELECT text, n_chars FROM documents
+                UNION ALL
+                SELECT text, n_chars FROM documents
+                WHERE doc_id % 25 = 0
+                UNION ALL
+                SELECT text, n_chars FROM documents
+                WHERE doc_id % 25 = 0
+            ),
+            g AS (
                 SELECT md5(text) AS h, count(*) AS sz,
                        min(n_chars) AS nc
-                FROM documents GROUP BY 1
+                FROM corpus GROUP BY 1
             )
             SELECT CAST(sz AS BIGINT) AS group_size,
                    CAST(count(*) AS BIGINT) AS n_groups,

@@ -1,8 +1,12 @@
 """Round-5 corpus statistics queries (token coverage curve, exact-dup
-survivorship) against pure-Python references."""
+survivorship, char diversity, user-activity percentiles) against
+pure-Python references."""
 from __future__ import annotations
 
+import math
 from collections import Counter
+
+from pyspark.sql import functions as F
 
 
 def _docs(spark, rows):
@@ -11,16 +15,17 @@ def _docs(spark, rows):
         "doc_id long, text string, n_chars long")
 
 
-def test_token_coverage_matches_pure_python(spark):
-    import tempfile
+def _write_docs(spark, tmp_path, texts):
+    d = str(tmp_path)
+    _docs(spark, texts).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet")
+    return d
 
+
+def test_token_coverage_matches_pure_python(spark, tmp_path):
     import __spark_entry__ as em
     texts = ["a a a b b c", "a b  d", "e f g a", ""]
-    df = _docs(spark, texts)
-    # drive the query through its real contract: a documents.parquet
-    # under a temp sf_dir
-    d = tempfile.mkdtemp(prefix="cov_")
-    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    d = _write_docs(spark, tmp_path, texts)
     got = [(r["top_k"], r["tokens_covered"], r["coverage_bp"])
            for r in em.doc_token_coverage(spark, d).collect()]
     words = [w for t in texts for w in t.split(" ") if w]
@@ -34,35 +39,32 @@ def test_token_coverage_matches_pure_python(spark):
     assert got == want
 
 
-def test_dedup_survivorship_matches_pure_python(spark):
-    import tempfile
-
+def test_dedup_survivorship_matches_pure_python(spark, tmp_path):
     import __spark_entry__ as em
     texts = ["dup one", "dup one", "dup one", "solo a", "pair x",
              "pair x", "solo b"]
-    df = _docs(spark, texts)
-    d = tempfile.mkdtemp(prefix="surv_")
-    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    d = _write_docs(spark, tmp_path, texts)
     got = {r["group_size"]: (r["n_groups"], r["docs_removed"],
                              r["chars_removed"])
            for r in em.doc_dedup_survivorship(spark, d).collect()}
-    groups = Counter(texts)
+    # the query PLANTS every 25th doc twice more (both engines do) —
+    # replicate: doc 0 ("dup one") gains 2 copies
+    corpus = texts + [texts[0], texts[0]]
+    groups = Counter(corpus)
     want: dict = {}
     for t, sz in groups.items():
         g, dr, cr = want.get(sz, (0, 0, 0))
         want[sz] = (g + 1, dr + (sz - 1), cr + (sz - 1) * len(t))
     assert got == want
-    # invariant: removing survivors leaves exactly one doc per text
-    assert sum(v[1] for v in got.values()) == len(texts) - len(groups)
+    # the planted texts guarantee a sz > 1 bucket is exercised
+    assert any(sz > 1 for sz in got)
+    assert sum(v[1] for v in got.values()) == len(corpus) - len(groups)
 
-def test_char_diversity_matches_pure_python(spark):
-    import tempfile
 
+def test_char_diversity_matches_pure_python(spark, tmp_path):
     import __spark_entry__ as em
     texts = ["aaaa", "abcd", "aabbccdd", "zzzzzzzy", ""]
-    df = _docs(spark, texts)
-    d = tempfile.mkdtemp(prefix="chd_")
-    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    d = _write_docs(spark, tmp_path, texts)
     got = {r["doc_id"]: (r["n_chars"], r["n_distinct_chars"],
                          r["surprisal"])
            for r in em.doc_char_diversity(spark, d).collect()}
@@ -83,9 +85,7 @@ def test_char_diversity_matches_pure_python(spark):
     assert want[1][2] > want[0][2]
 
 
-def test_user_activity_percentiles_match_pure_python(spark):
-    import tempfile
-
+def test_user_activity_percentiles_match_pure_python(spark, tmp_path):
     import __spark_entry__ as em
     rows = []
     eid = 0
@@ -94,26 +94,28 @@ def test_user_activity_percentiles_match_pure_python(spark):
         for _ in range(k):
             rows.append((eid, u, t))
             eid += 1
-    df = spark.createDataFrame(
+    df = (spark.createDataFrame(
         [(e, "2024-01-01 00:00:00", u, t, 0.0, "{}")
          for e, u, t in rows],
         "event_id long, ts string, user_id long, event_type string, "
-        "value double, props string").withColumn(
-        "ts", __import__("pyspark.sql.functions",
-                         fromlist=["F"]).to_timestamp("ts"))
-    d = tempfile.mkdtemp(prefix="ua_")
+        "value double, props string")
+        .withColumn("ts", F.to_timestamp("ts")))
+    d = str(tmp_path)
     df.write.mode("overwrite").parquet(f"{d}/events.parquet")
-    got = {r["event_type"]: (r["n_users"], r["min_v"], r["p50"],
-                             r["max_v"])
+    got = {r["event_type"]: (r["n_users"], r["min_v"], r["p25"],
+                             r["p50"], r["p75"], r["p95"], r["max_v"])
            for r in em.events_user_activity(spark, d).collect()}
 
-    def nearest_rank(vals, p):
+    def nr(vals, p):
+        # nearest-rank: smallest value at cumulative rank
+        # ceil(p*n/100) — the small-n ceiling edges (p95 on n=4 ->
+        # rank 4, p25 -> rank 1) are exactly where an off-by-one in
+        # (p*n+99) div 100 would bite (r5 review finding)
         vals = sorted(vals)
-        import math
         return vals[max(0, math.ceil(p * len(vals) / 100) - 1)]
 
-    view = [3, 7, 5, 1]
-    click = [2, 2]
-    want = {"view": (4, 1, nearest_rank(view, 50), 7),
-            "click": (2, 2, nearest_rank(click, 50), 2)}
-    assert got == want
+    def full(vals):
+        return (len(vals), min(vals), nr(vals, 25), nr(vals, 50),
+                nr(vals, 75), nr(vals, 95), max(vals))
+
+    assert got == {"view": full([3, 7, 5, 1]), "click": full([2, 2])}
