@@ -290,3 +290,79 @@ def test_pipeline_only_env_reaches_bench(monkeypatch):
     assert captured["env"]["SPARK_GRAFT_PIPELINE_ONLY"] == "1"
     assert captured["env"]["SPARK_GRAFT_MARGINAL"] == "1"
     assert "foreign_cores" in r
+
+def test_watcher_pregate_passthrough(tmp_path, monkeypatch, capsys):
+    """A fresh watcher reading (same med3 instrument, seconds old)
+    serves as the pre-gate: the harness must NOT re-probe before the
+    run (the duplicate probe was observed flap-aborting qualifying
+    windows), must record the reading and its age, and the post-run
+    gates must still use a fresh probe."""
+    import json
+    import time as _time
+
+    import tools.bench_scaling as bs
+
+    repo = tmp_path / "repo"
+    (repo / "BENCH").mkdir(parents=True)
+    (repo / "README.md").write_text(
+        "# x\n\n"
+        "<!-- SCALING_CLAIM_BEGIN: rendered from "
+        "BENCH/scaling_history.jsonl by tools/bench_scaling.py; "
+        "do not hand-edit -->\n"
+        "<!-- SCALING_CLAIM_END -->\n")
+    (repo / "BENCH" / "scaling_history.jsonl").write_text("")
+    monkeypatch.setattr(bs, "REPO", str(repo))
+    calls = {"n": 0}
+
+    def fake_med3(*a, **k):
+        calls["n"] += 1
+        return {"efficiency": 0.9, "samples": [0.9, 0.9, 0.9],
+                "spin_rate": {8: 1, 32: 3.6}}
+    monkeypatch.setattr(bs, "hardware_ceiling_med3", fake_med3)
+    monkeypatch.setattr(bs, "membw_ceiling",
+                        lambda *a, **k: {"efficiency": 0.5,
+                                         "gbs_wide": 150.0,
+                                         "bytes_per_sec": {8: 1, 32: 2}})
+
+    def fake_run_bench(cpus, sf_dir):
+        seq = {8: 1000.0, 32: 3400.0}[cpus]
+        return {"pipeline": {"seq_per_sec": seq, "tok_per_sec": seq * 100,
+                             "marginal_ok": True,
+                             "pointwise_seq_per_sec": {
+                                 "small": seq * 0.7, "big": seq * 0.9}},
+                "foreign_cores": 0.1}
+    monkeypatch.setattr(bs, "run_bench", fake_run_bench)
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_LEVELS", "8,32")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_RUNS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_MIN_CEILING", "0.85")
+    monkeypatch.setenv("SPARK_GRAFT_MIN_MEMBW_GBS", "110")
+    monkeypatch.setenv("SPARK_GRAFT_POST_SETTLE_SECS", "0")
+    # the watcher's reading: distinct from the stub so provenance is
+    # provable in the output
+    monkeypatch.setenv("SPARK_GRAFT_PREGATE_TS", str(_time.time()))
+    monkeypatch.setenv("SPARK_GRAFT_PREGATE_CEILING", "0.88")
+    monkeypatch.setenv("SPARK_GRAFT_PREGATE_SAMPLES",
+                       "[0.85, 0.88, 0.9]")
+    monkeypatch.setenv("SPARK_GRAFT_PREGATE_MEMBW", "149.0")
+    bs.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["hw_ceiling_pre_run"] == 0.88          # watcher value
+    assert out["hw_ceiling_samples_pre"] == [0.85, 0.88, 0.9]
+    assert out["pre_gate_from_watcher_age_sec"] is not None
+    assert out["gate_instrument"].endswith("+watcher_pregate")
+    assert out["membw_pre_gbs"] == 149.0
+    # post gate still measured fresh: exactly ONE med3 probe ran
+    assert calls["n"] == 1
+    assert out["hw_ceiling_spin_efficiency"] == 0.9   # the post probe
+    assert "invalid" not in out
+
+
+def test_watcher_pregate_stale_reading_ignored(monkeypatch):
+    import time as _time
+
+    import tools.bench_scaling as bs
+    monkeypatch.setenv("SPARK_GRAFT_PREGATE_TS",
+                       str(_time.time() - 300))
+    monkeypatch.setenv("SPARK_GRAFT_PREGATE_CEILING", "0.9")
+    assert bs._watcher_pregate() is None
+    assert bs._watcher_pregate_membw() is None

@@ -64,9 +64,18 @@ def main():
         # require a near-idle VM AND both passing ceilings
         if (eff >= gate and bw["gbs_wide"] >= bw_gate
                 and busy_cores < 2.0 and not os.path.exists(lock)):
+            # hand the qualifying reading to the harness as its
+            # pre-gate (same instrument, seconds old — see
+            # bench_scaling._watcher_pregate): re-probing the same
+            # window 40 s later was observed to flap-abort it
             env = dict(os.environ,
                        SPARK_GRAFT_MIN_CEILING=str(gate),
-                       SPARK_GRAFT_MIN_MEMBW_GBS=str(bw_gate))
+                       SPARK_GRAFT_MIN_MEMBW_GBS=str(bw_gate),
+                       SPARK_GRAFT_PREGATE_TS=str(time.time()),
+                       SPARK_GRAFT_PREGATE_CEILING=str(eff),
+                       SPARK_GRAFT_PREGATE_SAMPLES=json.dumps(
+                           hw.get("samples")),
+                       SPARK_GRAFT_PREGATE_MEMBW=str(bw["gbs_wide"]))
             r = subprocess.run(
                 [sys.executable,
                  os.path.join(REPO, "tools", "bench_scaling.py")],
