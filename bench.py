@@ -296,6 +296,17 @@ def marginal_pipeline_bench(spark, sf_dir, cpus):
         "pointwise_seq_per_sec": {
             "small": round(counts["small"][0] / t_small, 1),
             "big": round(counts["big"][0] / t_big, 1)},
+        # Physical sanity: pointwise rate = docs/(c + docs/m) is
+        # STRICTLY INCREASING in docs on a stable window (the fixed
+        # cost amortizes better at the bigger size). An inversion
+        # means the effective machine changed between the interleaved
+        # S-B-S-B runs — ledger row 23 (2026-08-18) showed 31.8k
+        # small vs 28.2k big at 32 cores under clean gates and a
+        # nonsense 0.424 ratio. Prospective validity condition, the
+        # degeneracy guard's sibling; the harness auto-invalidates on
+        # it.
+        "pointwise_monotone_ok":
+            counts["big"][0] / t_big >= counts["small"][0] / t_small,
         "fixed_cost_sec": round(fixed, 3) if fixed is not None else None,
         "t_big_sec": round(t_big, 3),
     }

@@ -366,3 +366,45 @@ def test_watcher_pregate_stale_reading_ignored(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_PREGATE_CEILING", "0.9")
     assert bs._watcher_pregate() is None
     assert bs._watcher_pregate_membw() is None
+
+def test_main_pointwise_inversion_invalidation(tmp_path, monkeypatch,
+                                               capsys):
+    """A level whose pointwise big rate fell BELOW its small rate ran
+    on a machine that changed mid-measurement (fixed cost amortizes
+    better at the bigger size, so the rate is strictly increasing in
+    input size on a stable window) — the row must auto-invalidate
+    (prospective gate after ledger row 23)."""
+    import json
+
+    import tools.bench_scaling as bs
+
+    repo = tmp_path / "repo"
+    (repo / "BENCH").mkdir(parents=True)
+    monkeypatch.setattr(bs, "REPO", str(repo))
+    monkeypatch.setattr(bs, "hardware_ceiling",
+                        lambda *a, **k: {"efficiency": 0.9})
+    monkeypatch.setattr(bs, "membw_ceiling",
+                        lambda *a, **k: {"efficiency": 0.5,
+                                         "gbs_wide": 150.0,
+                                         "bytes_per_sec": {8: 1, 32: 2}})
+
+    def fake_run_bench(cpus, sf_dir):
+        seq = {8: 1000.0, 32: 3400.0}[cpus]
+        return {"pipeline": {"seq_per_sec": seq, "tok_per_sec": seq * 100,
+                             "marginal_ok": True,
+                             # 32-level inversion: big < small
+                             "pointwise_monotone_ok": cpus != 32,
+                             "pointwise_seq_per_sec": {
+                                 "small": seq * 0.9, "big": seq * 0.8}},
+                "foreign_cores": 0.1}
+    monkeypatch.setattr(bs, "run_bench", fake_run_bench)
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_LEVELS", "8,32")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_RUNS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_MIN_CEILING", "0.85")
+    monkeypatch.setenv("SPARK_GRAFT_MIN_MEMBW_GBS", "110")
+    monkeypatch.setenv("SPARK_GRAFT_POST_SETTLE_SECS", "0")
+    bs.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["invalid"] is True
+    assert "INVERTED" in out["invalid_reason"]
+    assert "[32]" in out["invalid_reason"]

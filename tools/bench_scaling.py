@@ -490,6 +490,8 @@ def main():
             "all_runs": [r["pipeline"]["seq_per_sec"] for r in rs],
             "foreign_cores": [r.get("foreign_cores") for r in rs],
             "marginal_ok": [r["pipeline"].get("marginal_ok") for r in rs],
+            "monotone_ok": [r["pipeline"].get("pointwise_monotone_ok")
+                            for r in rs],
             "pointwise": rs[-1]["pipeline"].get("pointwise_seq_per_sec"),
             "sample": rs[-1],
         }
@@ -590,7 +592,19 @@ def main():
     degenerate = {k: v["marginal_ok"] for k, v in results.items()
                   if k in (8, 32)
                   and any(ok is False for ok in v["marginal_ok"])}
-    if degenerate:
+    inverted = {k: v["monotone_ok"] for k, v in results.items()
+                if k in (8, 32)
+                and any(ok is False for ok in v.get("monotone_ok", []))}
+    if inverted:
+        summary["invalid"] = True
+        summary["invalid_reason"] = (
+            "auto: pointwise rate INVERTED at level(s) "
+            f"{sorted(inverted)} — the big input ran slower per doc "
+            "than the small one, which is physically impossible on a "
+            "stable window (fixed cost amortizes better at the bigger "
+            "size); the machine changed between the interleaved runs. "
+            "Prospective gate added after ledger row 23 (2026-08-18)")
+    elif degenerate:
         summary["invalid"] = True
         summary["invalid_reason"] = (
             "auto: marginal estimator degenerate at level(s) "
@@ -807,6 +821,14 @@ invocations run bench.py in pipeline-only mode: the ad-hoc headline
 queries add ~30-40% wall-clock with zero scaling signal, and every
 signal-free minute inside a window raises the odds it collapses
 mid-run (the fate of three round-4 runs).
+In-run validity additionally requires (c) foreign load <= 1.5 cores
+during claim-bearing levels, (d) a non-degenerate marginal estimate
+(dt > 25% of t_big), and (e) POINTWISE MONOTONICITY: the big input's
+per-doc rate must not fall below the small input's at any level —
+the rate docs/(c + docs/m) is strictly increasing in docs on a
+stable window, so an inversion proves the machine changed between
+the interleaved S-B-S-B runs (prospective gate added after ledger
+row 23's clean-gated 0.424 nonsense ratio).
 
 ## Invocation history (append-only, BENCH/scaling_history.jsonl)
 
