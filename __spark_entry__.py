@@ -16,7 +16,7 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds more (108 as of round 5) — so the excess rotates out
+the dict holds more (109 as of round 5) — so the excess rotates out
 of the driver's hard signal every round. The dict is therefore ordered each round:
 (1) queries whose implementation CHANGED this round (they most need
 a fresh independent row) first, then (2) the queries whose last
@@ -2286,7 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_word_topk": doc_word_topk,
         "doc_curation_pipeline": doc_curation_pipeline,
-        # --- NEW this round (positions 51-64): never driver-recorded
+        # --- NEW this round (positions 51-65): never driver-recorded
         # yet; the r3-era aging bound (44 stale + 6 changed = the full
         # top 50) takes precedence this round, so these wait one round
         # for their first driver row — verified in
@@ -2305,7 +2305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_survivorship": doc_dedup_survivorship,
         "events_user_activity": events_user_activity,
         "doc_char_diversity": doc_char_diversity,
-        # --- rotated-out tail (now positions 65-108): every entry
+        "events_dau_wau": events_dau_wau,
+        # --- rotated-out tail (now positions 66-109): every entry
         # here has a driver-green row in CORRECTNESS_r04.json
         # (last round), is code-unchanged this round, and is
         # re-verified locally each round (rotation policy in
@@ -2605,6 +2606,32 @@ def doc_char_diversity(spark, sf_dir):
             .orderBy(F.desc("surprisal"), F.asc("doc_id")).limit(20)
             .select(F.col("doc_id").cast("long").alias("doc_id"),
                     "n_chars", "n_distinct_chars", "surprisal"))
+
+
+
+def events_dau_wau(spark, sf_dir):
+    """DAU/WAU engagement rollup: per day, distinct daily actives,
+    distinct 7-day-window actives (the sliding window ENDING that
+    day), and the DAU/WAU stickiness ratio in integer basis points.
+    WAU uses window(ts, '7 days', '1 day') — each event feeds 7
+    window instances map-side, and the exchange carries aggregated
+    (window, user) groups; the final join is day-keyed over the
+    |days|-bounded frames. Days are reported where a DAU row exists
+    (both engines identically)."""
+    ev = _t(spark, sf_dir, "events")
+    dau = (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+           .agg(F.countDistinct("user_id").cast("long").alias("dau")))
+    w = F.window("ts", "7 days", "1 day")
+    wau = (ev.groupBy(w.alias("w"))
+           .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+           .select(F.date_format(
+               F.date_sub(F.to_date(F.col("w.end")), 1),
+               "yyyy-MM-dd").alias("day"), "wau"))
+    return (dau.join(wau, "day")
+            .select("day", "dau", "wau",
+                    F.expr("(dau * 10000) div wau").cast("long")
+                    .alias("stickiness_bp"))
+            .orderBy("day"))
 
 
 
@@ -4508,6 +4535,32 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             )
             SELECT vec_id, adc_dist, exact_dist FROM ex
             ORDER BY exact_dist, vec_id LIMIT 10
+        """,
+        # WAU window ENDING day d == the 7 sliding instances an event
+        # feeds: end_day = day(ts) + i for i in 0..6 (epoch-aligned,
+        # same as Spark's window('7 days','1 day').end - 1 day)
+        "events_dau_wau": """
+            WITH dau AS (
+                SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')
+                           AS day,
+                       count(DISTINCT user_id) AS dau
+                FROM events GROUP BY 1
+            ),
+            wx AS (
+                SELECT strftime(date_trunc('day', ts)
+                                + to_days(CAST(i.i AS INTEGER)),
+                                '%Y-%m-%d') AS day,
+                       user_id
+                FROM events CROSS JOIN range(0, 7) i(i)
+            ),
+            wau AS (SELECT day, count(DISTINCT user_id) AS wau
+                    FROM wx GROUP BY 1)
+            SELECT day, CAST(dau AS BIGINT) AS dau,
+                   CAST(wau AS BIGINT) AS wau,
+                   CAST((dau * 10000) // wau AS BIGINT)
+                       AS stickiness_bp
+            FROM dau JOIN wau USING (day)
+            ORDER BY day
         """,
         "events_user_activity": """
             WITH vals AS (

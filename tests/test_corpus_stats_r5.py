@@ -119,3 +119,41 @@ def test_user_activity_percentiles_match_pure_python(spark, tmp_path):
                 nr(vals, 75), nr(vals, 95), max(vals))
 
     assert got == {"view": full([3, 7, 5, 1]), "click": full([2, 2])}
+
+def test_dau_wau_matches_pure_python(spark, tmp_path):
+    import datetime as dt
+
+    import __spark_entry__ as em
+    # users active across a 10-day span with churn
+    rows, eid = [], 0
+    base = dt.datetime(2024, 3, 1)
+    for day, users in enumerate([[1, 2], [1], [3], [], [1, 4],
+                                 [2], [1], [5], [1, 2, 3], [1]]):
+        for u in users:
+            rows.append((eid, base + dt.timedelta(days=day, hours=3),
+                         u))
+            eid += 1
+    df = spark.createDataFrame(
+        [(e, t, u, "view", 0.0, "{}") for e, t, u in rows],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r["day"]: (r["dau"], r["wau"], r["stickiness_bp"])
+           for r in em.events_dau_wau(spark, d).collect()}
+    by_day: dict = {}
+    for _e, t, u in rows:
+        by_day.setdefault(t.date(), set()).add(u)
+    want = {}
+    for day, users in by_day.items():
+        wau_users = set()
+        for back in range(7):
+            wau_users |= by_day.get(day - dt.timedelta(days=back),
+                                    set())
+        dau, wau = len(users), len(wau_users)
+        want[day.strftime("%Y-%m-%d")] = (dau, wau,
+                                          dau * 10000 // wau)
+    assert got == want
+    # WAU >= DAU everywhere, strictly greater once churn kicks in
+    assert all(w >= d_ for d_, w, _ in got.values())
+    assert any(w > d_ for d_, w, _ in got.values())
