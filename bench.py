@@ -241,7 +241,13 @@ def marginal_pipeline_bench(spark, sf_dir, cpus):
     tbl_bytes = sum(
         os.path.getsize(os.path.join(path_b, f))
         for f in os.listdir(path_b) if f.endswith(".parquet"))
-    split = min(max(tbl_bytes // (int(cpus) * 3), 1 << 20), 128 << 20)
+    # waves/level: 3 is the protocol-3 default; SPARK_GRAFT_SCAN_WAVES
+    # exists for the straggler-tail A/B (tools/probe_waves.py) — more,
+    # smaller tasks amortize the last-wave straggler that taxes the
+    # wide level hardest. Only a measured win may flip the default
+    # (and that flip is a protocol bump).
+    waves = int(os.environ.get("SPARK_GRAFT_SCAN_WAVES", "3"))
+    split = min(max(tbl_bytes // (int(cpus) * waves), 1 << 20), 128 << 20)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     aggs_s, routed_s = build_pipeline(spark, sf_dir, path_s)
     aggs_b, routed_b = build_pipeline(spark, sf_dir, path_b)
