@@ -161,6 +161,14 @@ def _med(xs):
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
+def pointwise_monotone(small_rate: float, big_rate: float,
+                       margin: float = 0.05) -> bool:
+    """True unless the big-input pointwise rate fell more than
+    ``margin`` below the small-input rate (pure protocol-3
+    arithmetic, unit-tested)."""
+    return big_rate >= (1.0 - margin) * small_rate
+
+
 def marginal_estimate(counts_small, counts_big, t_small, t_big):
     """Pure protocol-3 arithmetic (unit-tested): marginal rate between
     two (docs, tokens) measurement points, with a degeneracy guard.
@@ -310,9 +318,14 @@ def marginal_pipeline_bench(spark, sf_dir, cpus):
         # small vs 28.2k big at 32 cores under clean gates and a
         # nonsense 0.424 ratio. Prospective validity condition, the
         # degeneracy guard's sibling; the harness auto-invalidates on
-        # it.
-        "pointwise_monotone_ok":
-            counts["big"][0] / t_big >= counts["small"][0] / t_small,
+        # it. The 5% NOISE MARGIN matters for honesty, not just
+        # convenience: medians of 2 runs carry ~10% spread, and a
+        # zero-margin gate censors exactly the rows whose noise went
+        # one way — a value-correlated filter that would bias the
+        # surviving-row median upward (r5 review finding). Only an
+        # inversion too big for timing noise may invalidate.
+        "pointwise_monotone_ok": pointwise_monotone(
+            counts["small"][0] / t_small, counts["big"][0] / t_big),
         "fixed_cost_sec": round(fixed, 3) if fixed is not None else None,
         "t_big_sec": round(t_big, 3),
     }

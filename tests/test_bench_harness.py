@@ -219,6 +219,20 @@ def test_marginal_estimate_math_and_guard():
     assert est["fixed_cost_sec"] is None
 
 
+def test_pointwise_monotone_noise_margin():
+    """The monotonicity validity gate tolerates inversions inside the
+    5% timing-noise margin: a zero-margin gate censors exactly the
+    rows whose 2-run-median noise went one way — a value-correlated
+    filter that would bias the surviving-row median upward."""
+    from bench import pointwise_monotone
+
+    assert pointwise_monotone(30000.0, 33000.0)        # normal
+    assert pointwise_monotone(30000.0, 28600.0)        # -4.7%: noise
+    assert not pointwise_monotone(30000.0, 28000.0)    # -6.7%: real
+    # ledger row 23's real inversion (31.8k -> 28.2k, -11%) still trips
+    assert not pointwise_monotone(31788.3, 28249.0)
+
+
 def test_main_post_run_membw_invalidation(tmp_path, monkeypatch, capsys):
     """Bandwidth collapsing mid-run must auto-invalidate the row."""
     import json
@@ -349,7 +363,10 @@ def test_watcher_pregate_passthrough(tmp_path, monkeypatch, capsys):
     assert out["hw_ceiling_pre_run"] == 0.88          # watcher value
     assert out["hw_ceiling_samples_pre"] == [0.85, 0.88, 0.9]
     assert out["pre_gate_from_watcher_age_sec"] is not None
-    assert out["gate_instrument"].endswith("+watcher_pregate")
+    # provenance labeled per axis: BOTH pregates came from the
+    # watcher in this scenario
+    assert out["gate_instrument"].endswith(
+        "+watcher_pregate_hw+watcher_pregate_membw")
     assert out["membw_pre_gbs"] == 149.0
     # post gate still measured fresh: exactly ONE med3 probe ran
     assert calls["n"] == 1

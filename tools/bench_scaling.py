@@ -393,11 +393,19 @@ def _watcher_pregate() -> "dict | None":
     observed (2026-08-18, two cycles) reading 0.824-0.827 against
     trigger readings 0.851-0.862 — marginal windows flap faster than
     the trigger-to-gate latency, so double-measuring the same window
-    converted qualifying triggers into pure latency losses. This
-    weakens NO validity condition: the threshold is unchanged, the
-    instrument is identical, the reading's age is recorded in the
-    summary, and the post-run gates still re-measure fresh and
-    auto-invalidate any mid-run collapse."""
+    converted qualifying triggers into pure latency losses.
+
+    Honesty caveat (r5 review): with the handoff, the PRE-gate check
+    in main() compares the watcher's qualifying value against the
+    same threshold the watcher already applied — it cannot fail, and
+    the recorded ``hw_ceiling_pre_run`` is a poll-until-passing
+    (selection-conditioned) sample, not an independent pre-run
+    measurement. Run validity therefore rests ENTIRELY on the
+    post-run gates, which re-measure fresh, are NOT selection-
+    conditioned, and auto-invalidate any mid-run collapse — as the
+    ledger's many invalidated rows show, they bite. Readers comparing
+    pre/post ceilings across rows should treat the pre value as the
+    trigger condition, not an unbiased sample of the window."""
     ts = os.environ.get("SPARK_GRAFT_PREGATE_TS")
     if not ts:
         return None
@@ -424,7 +432,8 @@ def _watcher_pregate_membw() -> "dict | None":
         if time.time() - float(ts) > 120:
             return None
         return {"gbs_wide":
-                float(os.environ["SPARK_GRAFT_PREGATE_MEMBW"])}
+                float(os.environ["SPARK_GRAFT_PREGATE_MEMBW"]),
+                "from_watcher": True}
     except (KeyError, ValueError):
         return None
 
@@ -528,11 +537,17 @@ def main():
         # ad-hoc queries dropped from scaling invocations; round 5
         # adds the protocol-3 two-point marginal estimator (that one
         # IS a timing-protocol change — hence PROTOCOL = 3 above).
+        # pregate provenance is labeled PER AXIS: the ceiling and the
+        # membw pregates fall back to fresh probes independently, so a
+        # single combined flag would misattribute mixed-provenance
+        # runs (r5 review finding)
         "gate_instrument": (
             "spin_med3+settle90+pipeline_only+marginal2pt"
-            + ("+watcher_pregate"
+            + ("+watcher_pregate_hw"
                if pre_hw.get("from_watcher_age_sec") is not None
-               else "")),
+               else "")
+            + ("+watcher_pregate_membw"
+               if pre_bw.get("from_watcher") else "")),
         "pre_gate_from_watcher_age_sec":
             pre_hw.get("from_watcher_age_sec"),
         "estimator": "marginal_2pt",

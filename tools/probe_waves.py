@@ -41,9 +41,17 @@ def run_one(cpus: int, cfg: dict) -> dict:
     env = dict(os.environ, SPARK_GRAFT_MARGINAL="1",
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_AMPLIFY="80", **cfg)
-    r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+    # same cpuset confinement as the harness's run_bench: local[8]
+    # alone lets Arrow python workers + GC spill onto the idle cores,
+    # so an unconfined sub-32 arm measures the wrong shape (r5 review
+    # finding — the first 8-core readings of this probe did that)
+    r = subprocess.run(["taskset", "-c", f"0-{cpus - 1}",
+                        sys.executable, os.path.join(REPO, "bench.py")],
                        env=env, capture_output=True, text=True,
                        timeout=1800)
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"bench.py failed rc={r.returncode}: {r.stderr[-2000:]}")
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
     p = json.loads(line)["pipeline"]
     return {"marginal": p["seq_per_sec"],

@@ -30,18 +30,33 @@ sys.path.insert(0, REPO)
 def main():
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    # confine the whole process tree (JVM + Arrow workers inherit the
+    # affinity mask) exactly like the harness's taskset wrapper —
+    # local[k] alone lets helper threads spill onto idle cores
+    os.sched_setaffinity(0, set(range(cpus)))
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     import bench
     from bench import ensure_tokens_table, build_pipeline, _noop
     spark = bench.get_spark(app="probe_waves2", master=f"local[{cpus}]",
                             shuffle_partitions=max(cpus, 8))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # pin ONE storage medium for both tables before building either:
+    # the per-call auto choice can put table 1 in tmpfs and push
+    # table 2 to disk, turning the wave A/B into a media A/B (the
+    # same confound marginal_pipeline_bench pins base= for)
+    import shutil
+    import tempfile
+    base = os.environ.get("SPARK_GRAFT_TOKENS_DIR") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") and
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        * 80 * 6000 * 2 <= shutil.disk_usage("/dev/shm").free // 2
+        else tempfile.gettempdir())
     plans = {}
     n_docs = None
     for name, parts, waves in (("A_96f_3w", 96, 3),
                                ("B_192f_6w", 192, 6)):
         os.environ["SPARK_GRAFT_TOKENS_PARTS"] = str(parts)
-        path = ensure_tokens_table(spark, sf_dir, 80)
+        path = ensure_tokens_table(spark, sf_dir, 80, base=base)
         tbl_bytes = sum(os.path.getsize(os.path.join(path, f))
                         for f in os.listdir(path) if f.endswith(".parquet"))
         split = min(max(tbl_bytes // (cpus * waves), 1 << 20), 128 << 20)

@@ -48,12 +48,16 @@ def main():
         b0 = _total_busy_cpu_secs()
         time.sleep(1.0)
         busy_cores = _total_busy_cpu_secs() - b0
-        # median-of-3, same instrument as the harness gates: the old
+        # median-of-3, same instrument AND same probe durations as the
+        # harness gates (secs=4.0 / 2.0 — a shorter poll here would be
+        # handed off as the pre-gate below while the ledger labels it
+        # with the harness instrument, r5 review finding): the old
         # single-sample poll green-lit transient spikes (0.985 polls
         # followed by 0.829 pre-gate skips) and wasted window time
-        hw = hardware_ceiling_med3(secs=3.0)
+        probe_t0 = time.time()
+        hw = hardware_ceiling_med3(secs=4.0)
         eff = hw["efficiency"]
-        bw = membw_best2(secs=1.5)
+        bw = membw_best2(secs=2.0)
         print(json.dumps({"watch_ceiling": round(eff, 3),
                           "watch_samples": hw.get("samples"),
                           "watch_membw_gbs": round(bw["gbs_wide"], 1),
@@ -68,10 +72,13 @@ def main():
             # pre-gate (same instrument, seconds old — see
             # bench_scaling._watcher_pregate): re-probing the same
             # window 40 s later was observed to flap-abort it
+            # age the reading from the START of the probe burst, not
+            # env-construction time — the ~15 s of probing above is
+            # part of the reading's age (r5 review finding)
             env = dict(os.environ,
                        SPARK_GRAFT_MIN_CEILING=str(gate),
                        SPARK_GRAFT_MIN_MEMBW_GBS=str(bw_gate),
-                       SPARK_GRAFT_PREGATE_TS=str(time.time()),
+                       SPARK_GRAFT_PREGATE_TS=str(probe_t0),
                        SPARK_GRAFT_PREGATE_CEILING=str(eff),
                        SPARK_GRAFT_PREGATE_SAMPLES=json.dumps(
                            hw.get("samples")),
