@@ -16,7 +16,7 @@ boundary.
 
 Recording-window rotation policy: the external driver records the
 ``queries()`` dict in INSERTION ORDER and stops at 50 entries, while
-the dict holds more (109 as of round 5) — so the excess rotates out
+the dict holds more (110 as of round 5) — so the excess rotates out
 of the driver's hard signal every round. The dict is therefore ordered each round:
 (1) queries whose implementation CHANGED this round (they most need
 a fresh independent row) first, then (2) the queries whose last
@@ -2286,7 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_word_topk": doc_word_topk,
         "doc_curation_pipeline": doc_curation_pipeline,
-        # --- NEW this round (positions 51-65): never driver-recorded
+        # --- NEW this round (positions 51-66): never driver-recorded
         # yet; the r3-era aging bound (44 stale + 6 changed = the full
         # top 50) takes precedence this round, so these wait one round
         # for their first driver row — verified in
@@ -2306,7 +2306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_activity": events_user_activity,
         "doc_char_diversity": doc_char_diversity,
         "events_dau_wau": events_dau_wau,
-        # --- rotated-out tail (now positions 66-109): every entry
+        "doc_ngram_novelty": doc_ngram_novelty,
+        # --- rotated-out tail (now positions 67-110): every entry
         # here has a driver-green row in CORRECTNESS_r04.json
         # (last round), is code-unchanged this round, and is
         # re-verified locally each round (rotation policy in
@@ -2632,6 +2633,47 @@ def events_dau_wau(spark, sf_dir):
                     F.expr("(dau * 10000) div wau").cast("long")
                     .alias("stickiness_bp"))
             .orderBy("day"))
+
+
+
+def doc_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty — the corpus-diversity-over-time
+    curation stat (what share of each new document's content has never
+    appeared in any earlier document?): for every doc, the count of
+    its DISTINCT word trigrams, how many of those have their
+    corpus-wide FIRST occurrence (minimum doc_id) in this very doc,
+    and the novel share in integer basis points. Docs with fewer than
+    3 words have no trigrams and are absent (both engines).
+
+    Scale shape: reuses the minhash family's trigram builder —
+    construction + per-doc dedup run MAP-SIDE inside array expressions
+    (``operators/dedup.py`` shingles, no explode-before-distinct), the
+    only wide exchange is keyed on the 60-bit md5 fingerprint (longs
+    on the wire, partial min map-side), and the join back is equi on
+    the same fingerprint so AQE can split hot boilerplate trigrams.
+    The reference has no novelty stat; this extends its distinct-sets
+    reporting (extractors.py OSC/command sets) to first-seen
+    attribution."""
+    from console_log_parser_spark.operators.dedup import (
+        shingle_hash, shingles)
+    docs = _t(spark, sf_dir, "documents")
+    ex = (shingles(docs, k=3)
+          .select("doc_id",
+                  shingle_hash(F.col("shingle")).alias("fp")))
+    firsts = ex.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    per = (ex.join(firsts, "fp")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_tri"),
+                F.sum(F.when(F.col("doc_id") == F.col("first_doc"),
+                             F.lit(1)).otherwise(F.lit(0)))
+                .alias("n_novel")))
+    return (per.select(
+        "doc_id",
+        F.col("n_tri").cast("long").alias("n_tri"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.expr("(n_novel * 10000) div n_tri").cast("long")
+        .alias("novelty_bp"))
+        .orderBy("doc_id"))
 
 
 
@@ -4561,6 +4603,34 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                        AS stickiness_bp
             FROM dau JOIN wau USING (day)
             ORDER BY day
+        """,
+        # same trigram construction + 60-bit md5 fingerprint as the
+        # minhash family (shingles/shingle_hash); novelty = the doc
+        # IS the corpus-wide min doc_id for that fingerprint
+        "doc_ngram_novelty": """
+            WITH words AS (SELECT doc_id, string_split(text, ' ')
+                               AS ws
+                           FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct(
+                       [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, greatest(len(ws) - 1, 1))]))
+                       AS s
+                   FROM words),
+            fp AS (SELECT doc_id,
+                          ('0x' || substr(md5(s), 1, 15))::BIGINT
+                              AS fp
+                   FROM sh),
+            firsts AS (SELECT fp, min(doc_id) AS first_doc
+                       FROM fp GROUP BY 1)
+            SELECT f.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tri,
+                   CAST(sum(CASE WHEN f.doc_id = fs.first_doc
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                   CAST((sum(CASE WHEN f.doc_id = fs.first_doc
+                             THEN 1 ELSE 0 END) * 10000) // count(*)
+                        AS BIGINT) AS novelty_bp
+            FROM fp f JOIN firsts fs USING (fp)
+            GROUP BY 1 ORDER BY 1
         """,
         "events_user_activity": """
             WITH vals AS (

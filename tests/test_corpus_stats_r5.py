@@ -157,3 +157,43 @@ def test_dau_wau_matches_pure_python(spark, tmp_path):
     # WAU >= DAU everywhere, strictly greater once churn kicks in
     assert all(w >= d_ for d_, w, _ in got.values())
     assert any(w > d_ for d_, w, _ in got.values())
+
+
+def test_ngram_novelty_matches_pure_python(spark, tmp_path):
+    """doc_ngram_novelty: first-seen attribution goes to the MINIMUM
+    doc_id per trigram; repeated trigrams inside one doc count once;
+    docs with < 3 words are absent."""
+    import __spark_entry__ as em
+    texts = [
+        "the cat sat on the mat",          # doc 0: all novel
+        "the cat sat on the mat today",    # doc 1: mostly doc-0 reruns
+        "a brand new sentence here",       # doc 2: all novel
+        "the cat sat",                     # doc 3: one trigram, seen
+        "tiny doc",                        # doc 4: no trigrams
+        "the cat sat the cat sat on",      # doc 5: distinct-once
+    ]
+    d = _write_docs(spark, tmp_path, texts)
+    got = [(r["doc_id"], r["n_tri"], r["n_novel"], r["novelty_bp"])
+           for r in em.doc_ngram_novelty(spark, d).collect()]
+
+    firsts: dict = {}
+    per_doc: list = []
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        tris = {" ".join(ws[j:j + 3]) for j in range(len(ws) - 2)}
+        per_doc.append(tris)
+        for s in tris:
+            firsts.setdefault(s, i)
+    want = []
+    for i, tris in enumerate(per_doc):
+        if not tris:
+            continue
+        novel = sum(1 for s in tris if firsts[s] == i)
+        want.append((i, len(tris), novel,
+                     novel * 10000 // len(tris)))
+    assert got == want
+    # doc 0 fully novel, doc 3 fully seen, doc 4 absent
+    as_map = {r[0]: r for r in got}
+    assert as_map[0][3] == 10000
+    assert as_map[3] == (3, 1, 0, 0)
+    assert 4 not in as_map

@@ -91,7 +91,8 @@ def test_headline_queries_have_no_per_row_python(spark):
                  # r5 additions: all built-ins/literal projections
                  "doc_bloom_decontaminate", "doc_dsir_scores",
                  "doc_semdedup", "embedding_pq_codes", "ann_pq_top10",
-                 "ann_ivfpq_top10", "doc_tokenizer_fertility"):
+                 "ann_ivfpq_top10", "doc_tokenizer_fertility",
+                 "doc_ngram_novelty"):
         plan = _plan(qs[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
 
