@@ -56,6 +56,12 @@ ANSI_RE = re.compile(
     re.DOTALL,
 )
 
+# The same grammar wrapped in ONE capture group: re.split() with it
+# returns [seg0, match0, seg1, match1, ..., segN] — both the stripped
+# segments and the match strings from a single C-level pass, with no
+# per-match Match objects (classify_and_strip's per-doc hot loop).
+ANSI_SPLIT_RE = re.compile("(" + ANSI_RE.pattern + ")", re.DOTALL)
+
 # Complete sequences only (no truncated-at-EOD branches): the per-line
 # replay grammar for every line except the document's last — a
 # sequence cut short by a mid-document "\n" is ABORTED (body re-emitted
@@ -194,19 +200,21 @@ def classify_and_strip(
     hist: Counter = Counter()
     n_csi = n_osc = n_esc = n_dcs = n_sgr = n_c1 = 0
     n_app_mode = n_devstat = 0
-    ckm_set = ckm_reset = -10  # end offset of the last DECCKM set/reset
-    app_active = False
-    parts: list[str] = []
-    last = 0
-    key_cache = _SEQ_KEY_CACHE  # escape vocab is tiny; memoize seq_key
+    # One C-level pass: parts[0::2] are the stripped segments,
+    # parts[1::2] the matched sequences (no Match objects).
+    parts = ANSI_SPLIT_RE.split(text)
+    if len(parts) == 1:  # no escapes at all: zero-copy
+        stripped = text if want_strip else ""
+        return stripped, hist, (0, 0, 0, 0, 0, 0, 0, 0)
+    matches = parts[1::2]
+    stripped = "".join(parts[0::2]) if want_strip else ""
+    # Histogram + counters from the DISTINCT match strings (escape
+    # vocab is tiny — ~20 distinct over ~50 matches per doc): Counter()
+    # does the per-match counting at C speed, the Python loop runs per
+    # distinct sequence only. seq_key stays memoized across docs.
+    key_cache = _SEQ_KEY_CACHE
     sentinel = _SENTINEL
-    for m in ANSI_RE.finditer(text):
-        if want_strip:
-            s = m.start()
-            if s > last:
-                parts.append(text[last:s])
-            last = m.end()
-        g = m.group(0)
+    for g, c in Counter(matches).items():
         key = key_cache.get(g, sentinel)
         if key is sentinel:
             key = seq_key(g)
@@ -214,49 +222,49 @@ def classify_and_strip(
                 key_cache[g] = key
         if key is None:  # truncated at EOD: stripped, never dispatched
             continue
-        hist[key] += 1
+        hist[key] += c  # += (not =): distinct matches can share a key
         k0 = key[0]
         if k0 == "C" and key[1] == "S":  # CSI:
-            n_csi += 1
+            n_csi += c
             f = key[-1]
             if f == "m":
-                n_sgr += 1
-            elif f == "h":
-                # DECCKM set: CSI ? 1 h, no intermediates (exact forms;
-                # the histogram key elides intermediate bytes)
-                if g == "\x1b[?1h" or g == "\x9b?1h":
-                    ckm_set = m.end()
-            elif f == "l":
-                if g == "\x1b[?1l" or g == "\x9b?1l":
-                    ckm_reset = m.end()
+                n_sgr += c
             elif f == "n":
-                n_devstat += 1
+                n_devstat += c
             elif f == "c":
                 body = key[4:-1]
                 if body[:1] in ("<", "=", ">", "?"):
                     body = body[1:]
                 if body in ("", "0"):
-                    n_devstat += 1
+                    n_devstat += c
         elif k0 == "O":
-            n_osc += 1
+            n_osc += c
         elif k0 == "D":
-            n_dcs += 1
+            n_dcs += c
         elif k0 == "E":
-            n_esc += 1
-            if key == "ESC:=":
-                if ckm_set == m.start() and not app_active:
+            n_esc += c
+        else:
+            n_c1 += c
+    # App-mode spans (reference P8) need sequence ORDER and ADJACENCY:
+    # ESC= opens a span iff it starts exactly where a DECCKM-set ended,
+    # i.e. the immediately preceding match is CSI ? 1 h with an EMPTY
+    # segment between; CSI ? 1 l + adjacent ESC> closes it. The ordered
+    # walk runs only when both trigger forms are present at all.
+    if "\x1b=" in matches and (
+            "\x1b[?1h" in matches or "\x9b?1h" in matches):
+        app_active = False
+        for j, g in enumerate(matches):
+            if g == "\x1b=":
+                if (not app_active and j > 0 and parts[2 * j] == ""
+                        and (matches[j - 1] == "\x1b[?1h"
+                             or matches[j - 1] == "\x9b?1h")):
                     app_active = True
                     n_app_mode += 1
-            elif key == "ESC:>":
-                if ckm_reset == m.start() and app_active:
+            elif g == "\x1b>":
+                if (app_active and j > 0 and parts[2 * j] == ""
+                        and (matches[j - 1] == "\x1b[?1l"
+                             or matches[j - 1] == "\x9b?1l")):
                     app_active = False
-        else:
-            n_c1 += 1
-    if want_strip and last < len(text):
-        parts.append(text[last:])
-    stripped = "".join(parts) if want_strip else ""
-    if want_strip and last == 0:
-        stripped = text  # no escapes at all: zero-copy
     return stripped, hist, (n_csi, n_osc, n_esc, n_dcs, n_sgr, n_c1,
                             n_app_mode, n_devstat)
 
@@ -365,24 +373,28 @@ class LineBuilder:
         return "".join(self.line)
 
 
-# Editing-op hint: a line with NO backspace/CR and NO CSI whose final
-# is one of the line-editing ops (@ C D G K P X) replays to exactly
-# its escape-stripped self with zero warnings — the LineBuilder walk
-# is skipped entirely for such lines (the common case: prompt lines
-# whose command needed no editing). The CSI pattern mirrors _CSI with
-# the final narrowed to the editing set; false POSITIVES only cost the
-# slow path, false negatives are impossible (any editing op contains
-# \x08, \x0d or an editing-final CSI by construction).
-# C0 class: everything except TAB (printable to the builder) and ESC
-# (sequence introducer, stripped identically by both paths) — the
-# builder DROPS stray C0 like \x0b/\x07 while a bare strip would keep
-# them, so any such char must take the slow path. ESC itself is only
-# identical when ANSI_RE consumes it: a dangling ESC (ESC-ESC, ESC-DEL,
-# ESC + C1/GR byte) survives the bare strip, so build_line_counted
-# re-checks the stripped result for residual \x1b and falls back.
-_EDIT_HINT_RE = re.compile(
-    r"[\x00-\x08\x0b-\x1a\x1c-\x1f]"
-    r"|(?:\x1b\[|\x9b)[0-?]*[ -/]*[@CDGKPX]")
+# Editing-CSI hint: CSI whose final is one of the line-editing ops
+# (@ C D G K P X) — the only ESCAPE sequences that make a replay differ
+# from a bare strip. The pattern mirrors _CSI with the final narrowed
+# to the editing set; false POSITIVES only cost the slow path, false
+# negatives are impossible (any editing CSI contains this shape by
+# construction, and OSC/DCS bodies cannot hide one: their body classes
+# exclude ESC, so an embedded `ESC [ .. final` always terminates the
+# containing sequence and is re-matched on its own).
+_EDIT_CSI_RE = re.compile(r"(?:\x1b\[|\x9b)[0-?]*[ -/]*[@CDGKPX]")
+
+# C0 residue on the STRIPPED text (not the raw line — a BEL that
+# terminates an OSC, or a CR inside a DCS body, is consumed by the
+# sequence match and never reaches the builder): everything below
+# 0x20 except TAB (printable to the builder) and LF (callers split on
+# it). ESC (\x1b) IS included: a dangling ESC (ESC-ESC, ESC-DEL,
+# ESC + C1/GR byte) survives the bare strip while the replay layer
+# drops it, so such lines must take the slow path. The builder DROPS
+# stray C0 like \x0b/\x07 while a bare strip keeps them — slow path
+# for those too. A single TRAILING CR is special-cased by the caller:
+# `text\r` replays to `text` (CR only rewinds the cursor; nothing
+# overwrites afterwards), so the fast path returns stripped[:-1].
+_C0_RESIDUE_RE = re.compile(r"[\x00-\x08\x0b-\x1f]")
 
 # finals whose CSI records drive the LineBuilder (LineBuilder.csi
 # ignores every other final, so parsing those params is wasted work)
@@ -390,6 +402,16 @@ _EDIT_FINALS = frozenset("@CDGKPX")
 
 # leading digits of a CSI parameter string (defensive first-param parse)
 _PARAM_DIGITS_RE = re.compile(r"\d*")
+
+# Memo for build_line_counted on NON-EOD lines (the common case: every
+# line but the document's last). Transcript corpora repeat prompt/command
+# lines heavily (measured 56% repeat rate at 16k synthetic docs, rising
+# with corpus size), and the function is pure, so a bounded first-come
+# cache trades ~15 MB/worker for skipping the replay walk on every
+# repeat. No eviction: the hot lines (bare prompts, common commands)
+# recur from the start, so the first 65536 distinct lines cover them;
+# on corpora with no repetition the cost is one dict probe per line.
+_LINE_MEMO: dict[str, tuple[str, int]] = {}
 
 
 def build_line_counted(raw_line: str, at_eod: bool = True) -> tuple[str, int]:
@@ -405,17 +427,26 @@ def build_line_counted(raw_line: str, at_eod: bool = True) -> tuple[str, int]:
     LineBuilder walk, which drops the ESC and keeps the body, matching
     the oracle's invalid-sequence branches.
     """
+    if not at_eod:
+        hit = _LINE_MEMO.get(raw_line)
+        if hit is not None:
+            return hit
     pat = ANSI_RE if at_eod else ANSI_COMPLETE_RE
-    if _EDIT_HINT_RE.search(raw_line) is None:
+    if _EDIT_CSI_RE.search(raw_line) is None:
+        # No editing CSI anywhere in the raw line: a bare strip equals
+        # the replay UNLESS stray C0 / a dangling ESC survives it (the
+        # builder drops those). Checking C0 on the STRIPPED text — not
+        # the raw line — lets the dominant real-world shape (OSC title
+        # terminated by BEL + SGR-colored prompt + trailing CR) take
+        # the fast path; the old raw-line hint sent 100% of prompt
+        # lines through the full walk because of the OSC's BEL.
         stripped = pat.sub("", raw_line)
-        if "\x1b" not in stripped:
-            return stripped, 0
-        # A dangling ESC (ESC followed by ESC, DEL, a C1 byte or a GR
-        # byte) is matched by no ANSI_RE branch, so the bare strip would
-        # RETAIN it while the replay layer drops stray C0 — fall back to
-        # the LineBuilder walk so both paths agree (and match the
-        # oracle's char FSM, which emits the ESC as data and then drops
-        # it at the visible-line layer).
+        body = stripped[:-1] if stripped.endswith("\r") else stripped
+        if _C0_RESIDUE_RE.search(body) is None:
+            r = (body, 0)
+            if not at_eod and len(_LINE_MEMO) < 65536:
+                _LINE_MEMO[raw_line] = r
+            return r
     lb = LineBuilder()
     last = 0
     for m in pat.finditer(raw_line):
@@ -429,7 +460,10 @@ def build_line_counted(raw_line: str, at_eod: bool = True) -> tuple[str, int]:
         last = m.end()
     if last < len(raw_line):
         lb.text(raw_line[last:])
-    return lb.result(), lb.warnings
+    r = (lb.result(), lb.warnings)
+    if not at_eod and len(_LINE_MEMO) < 65536:
+        _LINE_MEMO[raw_line] = r
+    return r
 
 
 def build_line(raw_line: str) -> str:
@@ -537,7 +571,9 @@ def parse_doc(text: str) -> dict:
         "prompt_count": prompt_count,
         "cmd_lines": cmd_lines,
         "n_vim": n_vim,
-        "n_unparsed": len(UNPARSED_RE.findall(stripped)),
+        # two C-level memchr scans == len(UNPARSED_RE.findall(...)):
+        # the class has exactly these two members
+        "n_unparsed": stripped.count("\x1b") + stripped.count("�"),
         "n_app_mode": n_app_mode,
         "n_devstat": n_devstat,
         "n_edit_warnings": n_edit_warnings,

@@ -18,7 +18,7 @@ def test_parse_stage_matches_oracle(spark, small_dataset):
         text, _ = datagen.gen_doc(i)
         o = oracle.oracle_parse_doc(text)
         r = rows[doc_id]
-        assert [chr(t) for t in r["ansi_stripped"]] == list(o["stripped"]), doc_id
+        assert r["ansi_stripped"] == o["stripped"], doc_id
         assert r["n_stripped"] == len(o["stripped"])
         assert r["severity"] == o["severity"], doc_id
         assert r["cmd_lines"] == o["cmd_lines"], doc_id

@@ -58,7 +58,7 @@ def test_routed_row_equality(spark, pipeline_out, expected):
         r = got[doc_id]
         assert r["sink"] == exp["sink"], doc_id
         assert r["route"] == exp["route"], doc_id
-        assert [chr(t) for t in r["ansi_stripped"]] == list(exp["stripped"])
+        assert r["ansi_stripped"] == exp["stripped"]
         assert list(r["cmd_lines_routed"]) == exp["cmds_routed"], doc_id
 
 
