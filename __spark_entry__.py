@@ -46,6 +46,53 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Redistribute a LOW-PARALLELISM scan across the cluster before a
+    per-row-expensive projection (regex extraction, digesting, vector
+    math).
+
+    A parquet row group is the unsplittable unit of scan parallelism:
+    a table written as one file with one row group runs every
+    downstream expression in ONE task no matter how small
+    ``maxPartitionBytes`` is. For such inputs a round-robin exchange of
+    the (small) payload costs far less than the serialized compute it
+    unblocks (measured at sf1.0: doc_token_count 0.75 s -> 0.39 s).
+
+    Scale-adaptive gate, evaluated driver-side with no job: only fires
+    when the scan exposes fewer files than cores AND the total bytes
+    fit in one task-wave (< cores x maxPartitionBytes). At 100 TB every
+    table has thousands of files, the gate is false, and the plan is
+    unchanged — no shuffle is ever added to a healthy scan.
+    """
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
+        return df  # A/B kill-switch
+    spark = df.sparkSession
+    try:
+        files = df.inputFiles()
+        cores = spark.sparkContext.defaultParallelism
+        if len(files) >= cores:
+            return df
+        from urllib.parse import unquote, urlparse
+        total = 0
+        for f in files:
+            p = unquote(urlparse(f).path) if "://" in f or \
+                f.startswith("file:") else f
+            total += os.path.getsize(p)
+        bound = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                   str(128 << 20)))
+        # Lower bound: the round-robin exchange costs a fixed ~0.1-0.15s
+        # round trip; below a few MB of compressed input the serialized
+        # compute is cheaper than that (A/B at sf0.1: doc_token_count
+        # 0.42 s base vs 0.58 s spread), so small inputs stay put.
+        spread_min = int(os.environ.get("SPARK_GRAFT_SPREAD_MIN",
+                                        str(2 << 20)))
+        if spread_min <= total <= cores * bound:
+            return df.repartition(cores)
+    except Exception:
+        pass
+    return df
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make the package importable on python workers regardless of cwd
     (the spark-submit --py-files equivalent for a driver-created
@@ -655,6 +702,8 @@ def stream_dedup_exact(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def doc_dedup_exact(spark, sf_dir):
+    # no _spread: md5+count is cheaper than an exchange of the text
+    # payload (A/B at sf1.0: 0.43 s base vs 0.74 s spread)
     docs = _t(spark, sf_dir, "documents")
     return (docs.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
@@ -664,7 +713,7 @@ def doc_dedup_exact(spark, sf_dir):
 
 
 def doc_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
     return (docs.select("doc_id", "source", fp.alias("fingerprint"))
             .groupBy("source")
@@ -673,7 +722,7 @@ def doc_fingerprint(spark, sf_dir):
 
 
 def doc_token_count(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     ws = F.size(F.split("text", " "))
     bpe = F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"))
     return (docs.groupBy("source")
@@ -684,7 +733,7 @@ def doc_token_count(spark, sf_dir):
 
 
 def doc_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     n_words = F.size(F.split("text", " "))
     n_punct = F.size(F.expr(r"regexp_extract_all(text, '[^\\w\\s]', 0)"))
     n_stop = F.size(F.expr(
@@ -699,7 +748,7 @@ def doc_quality(spark, sf_dir):
 def doc_lang_id(spark, sf_dir):
     """Marker-word language-ID heuristic; integer-ratio threshold so the
     prediction is engine-portable (4% stopword ratio)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     n_words = F.size(F.split("text", " "))
     n_stop = F.size(F.expr(
         r"regexp_extract_all(text, '\\b(the|a|and|of|to|in)\\b', 0)"))
@@ -728,7 +777,7 @@ def doc_quality_filter(spark, sf_dir):
     disagree on a boundary): word-count bounds, mean-word-length
     bounds (via letters = chars minus separating spaces, integer
     cross-multiplied), minimum stopword rate."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     n_words = F.size(F.split("text", " "))
     letters = F.col("n_chars") - n_words + 1
     n_stop = F.size(F.expr(
@@ -750,7 +799,8 @@ def doc_repetition(spark, sf_dir):
     vocabulary-diversity rules): per doc, the most frequent word's
     share and the distinct-word share, both as integer-percent
     (DIV 100 arithmetic — engine-portable); summed per language."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
     words = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
     wc = (words.groupBy("doc_id", "lang", "w")
@@ -859,11 +909,13 @@ def _cosine(a, b):
 
 
 def ann_bruteforce_top10(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings").select(
+    raw = _t(spark, sf_dir, "embeddings")
+    emb = _spread(raw).select(
         "vec_id", "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv"))
+    # query branch reads the raw scan: a 1-row filter needs no spread
+    q = raw.filter(F.col("vec_id") == 0).select(
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qv"))
     scored = (emb.filter(F.col("vec_id") != 0)
               .crossJoin(F.broadcast(q))
               .select("vec_id", "label",
