@@ -62,6 +62,45 @@ ANSI_RE = re.compile(
 # per-match Match objects (classify_and_strip's per-doc hot loop).
 ANSI_SPLIT_RE = re.compile("(" + ANSI_RE.pattern + ")", re.DOTALL)
 
+# Any C1 byte (0x80-0x9f): the one-charset probe that decides whether
+# the ESC-jump scanner below is exact (see _scan_sequences).
+_C1_ANY_RE = re.compile("[\x80-\x9f]")
+
+
+def _scan_sequences(text: str, pat) -> tuple[list, list]:
+    """(segments, matches) — exactly ``pat.finditer(text)`` PROVIDED
+    ``text`` contains no C1 byte (callers check ``_C1_ANY_RE`` first).
+
+    Every branch of the grammar then begins with ESC, so instead of
+    attempting the 9-way alternation at every character position (the
+    regex engine's scan loop runs at ~12 MB/s on this grammar), jump
+    ESC-to-ESC with ``str.find`` (memchr speed) and run one ANCHORED
+    ``pat.match`` per candidate — cost proportional to the number of
+    escapes, not the document length. A dangling ESC that matches no
+    branch is skipped, exactly as the scanning loop would skip it.
+
+    ``segments`` has len(matches)+1 entries; segments[j] is the text
+    between match j-1 and match j (the adjacency test for app-mode
+    spans is segments[j] == "").
+    """
+    segs: list = []
+    matches: list = []
+    find = text.find
+    match = pat.match
+    last = 0
+    i = find("\x1b")
+    while i != -1:
+        m = match(text, i)
+        if m is None:
+            i = find("\x1b", i + 1)
+            continue
+        segs.append(text[last:i])
+        matches.append(m.group())
+        last = m.end()
+        i = find("\x1b", last)
+    segs.append(text[last:])
+    return segs, matches
+
 # Complete sequences only (no truncated-at-EOD branches): the per-line
 # replay grammar for every line except the document's last — a
 # sequence cut short by a mid-document "\n" is ABORTED (body re-emitted
@@ -200,14 +239,23 @@ def classify_and_strip(
     hist: Counter = Counter()
     n_csi = n_osc = n_esc = n_dcs = n_sgr = n_c1 = 0
     n_app_mode = n_devstat = 0
-    # One C-level pass: parts[0::2] are the stripped segments,
-    # parts[1::2] the matched sequences (no Match objects).
-    parts = ANSI_SPLIT_RE.split(text)
-    if len(parts) == 1:  # no escapes at all: zero-copy
-        stripped = text if want_strip else ""
-        return stripped, hist, (0, 0, 0, 0, 0, 0, 0, 0)
-    matches = parts[1::2]
-    stripped = "".join(parts[0::2]) if want_strip else ""
+    if _C1_ANY_RE.search(text) is None:
+        # ESC-jump scan: memchr between escapes + anchored matches
+        segs, matches = _scan_sequences(text, ANSI_RE)
+        if not matches:  # no escapes at all: zero-copy
+            stripped = text if want_strip else ""
+            return stripped, hist, (0, 0, 0, 0, 0, 0, 0, 0)
+        stripped = "".join(segs) if want_strip else ""
+    else:
+        # C1 bytes present (rare): fall back to the one-pass regex
+        # split, whose alternation handles C1-introduced sequences
+        parts = ANSI_SPLIT_RE.split(text)
+        if len(parts) == 1:  # no escapes at all: zero-copy
+            stripped = text if want_strip else ""
+            return stripped, hist, (0, 0, 0, 0, 0, 0, 0, 0)
+        matches = parts[1::2]
+        segs = parts[0::2]
+        stripped = "".join(segs) if want_strip else ""
     # Histogram + counters from the DISTINCT match strings (escape
     # vocab is tiny — ~20 distinct over ~50 matches per doc): Counter()
     # does the per-match counting at C speed, the Python loop runs per
@@ -255,13 +303,13 @@ def classify_and_strip(
         app_active = False
         for j, g in enumerate(matches):
             if g == "\x1b=":
-                if (not app_active and j > 0 and parts[2 * j] == ""
+                if (not app_active and j > 0 and segs[j] == ""
                         and (matches[j - 1] == "\x1b[?1h"
                              or matches[j - 1] == "\x9b?1h")):
                     app_active = True
                     n_app_mode += 1
             elif g == "\x1b>":
-                if (app_active and j > 0 and parts[2 * j] == ""
+                if (app_active and j > 0 and segs[j] == ""
                         and (matches[j - 1] == "\x1b[?1l"
                              or matches[j - 1] == "\x9b?1l")):
                     app_active = False
@@ -432,14 +480,47 @@ def build_line_counted(raw_line: str, at_eod: bool = True) -> tuple[str, int]:
         if hit is not None:
             return hit
     pat = ANSI_RE if at_eod else ANSI_COMPLETE_RE
+    if _C1_ANY_RE.search(raw_line) is None:
+        # One ESC-jump scan yields both the fast-path strip and the
+        # slow-path walk inputs; no alternation scan of the line.
+        segs, matches = _scan_sequences(raw_line, pat)
+        # Fast path: no complete editing CSI (a match starting with
+        # "ESC [" whose last char is an editing final IS one — a
+        # truncated CSI can never end in [@CDGKPX] or it would have
+        # completed) and no C0/dangling-ESC residue on the stripped
+        # text: the bare strip equals the replay. A single trailing CR
+        # is allowed (it only rewinds the cursor; nothing follows).
+        has_edit = False
+        for g in matches:
+            if g[-1] in _EDIT_FINALS and g[1:2] == "[":
+                has_edit = True
+                break
+        if not has_edit:
+            stripped = "".join(segs)
+            body = stripped[:-1] if stripped.endswith("\r") else stripped
+            if _C0_RESIDUE_RE.search(body) is None:
+                r = (body, 0)
+                if not at_eod and len(_LINE_MEMO) < 65536:
+                    _LINE_MEMO[raw_line] = r
+                return r
+        lb = LineBuilder()
+        for j, g in enumerate(matches):
+            s = segs[j]
+            if s:
+                lb.text(s)
+            if g[-1] in _EDIT_FINALS:
+                cm = CSI_PARTS_RE.match(g)
+                if cm:
+                    lb.csi(cm.group("par"), cm.group("final"))
+        tail = segs[len(matches)]
+        if tail:
+            lb.text(tail)
+        r = (lb.result(), lb.warnings)
+        if not at_eod and len(_LINE_MEMO) < 65536:
+            _LINE_MEMO[raw_line] = r
+        return r
+    # C1 bytes present (rare): regex-scan path
     if _EDIT_CSI_RE.search(raw_line) is None:
-        # No editing CSI anywhere in the raw line: a bare strip equals
-        # the replay UNLESS stray C0 / a dangling ESC survives it (the
-        # builder drops those). Checking C0 on the STRIPPED text — not
-        # the raw line — lets the dominant real-world shape (OSC title
-        # terminated by BEL + SGR-colored prompt + trailing CR) take
-        # the fast path; the old raw-line hint sent 100% of prompt
-        # lines through the full walk because of the OSC's BEL.
         stripped = pat.sub("", raw_line)
         body = stripped[:-1] if stripped.endswith("\r") else stripped
         if _C0_RESIDUE_RE.search(body) is None:
