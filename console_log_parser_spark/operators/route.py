@@ -40,17 +40,35 @@ def salted(df: DataFrame, num_partitions: int | None = None,
 def route_stage(enriched: DataFrame,
                 num_partitions: int | None = None,
                 salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+    """Project the routed columns; the salted exchange moved into
+    write_fanout (guide: remove shuffles outright). Routing decides
+    WHERE rows go; only the fan-out WRITE needs them physically moved.
+    An aggregate over the routed frame (the flagship severity
+    histogram) now partial-aggregates map-side straight out of the
+    parse stage instead of first paying a full-width exchange of every
+    routed row — one Exchange fewer in every aggregate-over-routed
+    plan, identical results (aggregation is partition-insensitive).
+    Callers that need the physical placement pass through salted()/
+    write_fanout, which salts exactly as before."""
     routed = enriched.select(*ROUTED_COLUMNS)
-    return salted(routed, num_partitions, salt_buckets)
+    if num_partitions:
+        return salted(routed, num_partitions, salt_buckets)
+    return routed
 
 
 def write_fanout(routed: DataFrame, out_dir: str,
-                 mode: str = "append") -> None:
+                 mode: str = "append",
+                 num_partitions: int | None = None,
+                 salt_buckets: int = DEFAULT_SALT_BUCKETS) -> None:
     """One shuffled parent -> one write, hive-partitioned by sink.
 
-    Per-sink directories materialize under ``out_dir/routed/sink=...``;
-    a reader of one sink prunes to its partition. This is the
-    recompute-free fan-out (SURVEY.md §4: per-sink write loops must not
-    re-run the parse)."""
-    (routed.write.mode(mode).partitionBy("sink")
+    The salted exchange lives HERE (not in route_stage): the write is
+    the only consumer that needs rows physically moved, and salting by
+    pmod(xxhash64(doc_id), S) keeps any Zipf-heavy sink from pinning a
+    whole reducer. Per-sink directories materialize under
+    ``out_dir/routed/sink=...``; a reader of one sink prunes to its
+    partition. This is the recompute-free fan-out (SURVEY.md §4:
+    per-sink write loops must not re-run the parse)."""
+    (salted(routed, num_partitions, salt_buckets)
+     .write.mode(mode).partitionBy("sink")
      .parquet(f"{out_dir}/routed"))

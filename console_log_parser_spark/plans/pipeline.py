@@ -45,7 +45,9 @@ def build_routed(spark: SparkSession, cfg: PipelineConfig,
     routes = spark.read.parquet(f"{cfg.in_dir}/route_metadata.parquet")
     parsed = parse_stage(logs.select("doc_id", "tokens", "n_tok", "source"))
     enriched = apply_suppress_filter(enrich_stage(parsed, routes))
-    return route_stage(enriched, cfg.num_partitions, cfg.salt_buckets)
+    # projection only — the salted exchange is paid by write_fanout,
+    # the one consumer that needs rows physically placed
+    return route_stage(enriched)
 
 
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
@@ -61,7 +63,9 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
     obs = Observation("routed_metrics")
     routed = routed.observe(obs, F.count(F.lit(1)).alias("rows"),
                             F.sum("n_tok").alias("tokens"))
-    write_fanout(routed, cfg.out_dir, mode="overwrite")
+    write_fanout(routed, cfg.out_dir, mode="overwrite",
+                 num_partitions=cfg.num_partitions,
+                 salt_buckets=cfg.salt_buckets)
     metrics = dict(obs.get)
 
     routed_back = spark.read.parquet(f"{cfg.out_dir}/routed")
