@@ -123,6 +123,11 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     ids = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id_num"))
+    # distribute the synth+parse compute: ids are 8 bytes/row, the
+    # downstream work ~0.4 ms/doc — the documents scan is one task
+    # (single row group), so without this exchange the whole synthesis
+    # serializes on one core
+    ids = ids.repartition(spark.sparkContext.defaultParallelism)
     logs = synth_tokens_stage(ids)
     routes = spark.createDataFrame(datagen.route_metadata_rows())
     parsed = parse_stage(logs)
@@ -408,7 +413,10 @@ def cast_poster_base64(spark, sf_dir):
 def _cast_lines(spark, sf_dir):
     _ship_package(spark)
     from console_log_parser_spark.sources import asciinema
-    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    # ids are 8 bytes/row off a one-row-group scan; spread them so the
+    # per-frame explode + format_string synthesis runs on every core
+    ids = (_t(spark, sf_dir, "documents").select("doc_id")
+           .repartition(spark.sparkContext.defaultParallelism))
     return asciinema.synth_cast_lines(ids)
 
 
@@ -1062,6 +1070,11 @@ def _routed(spark, sf_dir):
     from console_log_parser_spark.operators.route import route_stage
     ids = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id_num"))
+    # distribute the synth+parse compute: ids are 8 bytes/row, the
+    # downstream work ~0.4 ms/doc — the documents scan is one task
+    # (single row group), so without this exchange the whole synthesis
+    # serializes on one core
+    ids = ids.repartition(spark.sparkContext.defaultParallelism)
     logs = synth_tokens_stage(ids)
     routes = spark.createDataFrame(datagen.route_metadata_rows())
     parsed = parse_stage(logs)
@@ -1079,6 +1092,11 @@ def html_render_stats(spark, sf_dir):
     from console_log_parser_spark.sinks import html as html_sink
     ids = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id_num"))
+    # distribute the synth+parse compute: ids are 8 bytes/row, the
+    # downstream work ~0.4 ms/doc — the documents scan is one task
+    # (single row group), so without this exchange the whole synthesis
+    # serializes on one core
+    ids = ids.repartition(spark.sparkContext.defaultParallelism)
     logs = synth_tokens_stage(ids)
     routes = spark.createDataFrame(datagen.route_metadata_rows())
     with_sink = logs.join(
@@ -1138,6 +1156,11 @@ def pipeline_typed_events(spark, sf_dir):
         typed_events_extractor)
     ids = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id_num"))
+    # distribute the synth+parse compute: ids are 8 bytes/row, the
+    # downstream work ~0.4 ms/doc — the documents scan is one task
+    # (single row group), so without this exchange the whole synthesis
+    # serializes on one core
+    ids = ids.repartition(spark.sparkContext.defaultParallelism)
     logs = synth_tokens_stage(ids)
     parsed = parse_stage(logs, extractors=(typed_events_extractor(),))
     total = (parsed.select(F.explode("events").alias("e"))
@@ -1166,6 +1189,11 @@ def pipeline_chapters(spark, sf_dir):
         parse_stage, synth_tokens_stage)
     ids = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id_num"))
+    # distribute the synth+parse compute: ids are 8 bytes/row, the
+    # downstream work ~0.4 ms/doc — the documents scan is one task
+    # (single row group), so without this exchange the whole synthesis
+    # serializes on one core
+    ids = ids.repartition(spark.sparkContext.defaultParallelism)
     logs = synth_tokens_stage(ids)
     routes = spark.createDataFrame(datagen.route_metadata_rows())
     chapters = spark.createDataFrame(datagen.chapter_rows())
@@ -1437,6 +1465,11 @@ def pipeline_os_commands(spark, sf_dir):
         parse_stage, synth_tokens_stage)
     ids = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id_num"))
+    # distribute the synth+parse compute: ids are 8 bytes/row, the
+    # downstream work ~0.4 ms/doc — the documents scan is one task
+    # (single row group), so without this exchange the whole synthesis
+    # serializes on one core
+    ids = ids.repartition(spark.sparkContext.defaultParallelism)
     logs = synth_tokens_stage(ids)
     routes = spark.createDataFrame(datagen.route_metadata_rows())
     parsed = parse_stage(logs, extractors=(
