@@ -775,7 +775,7 @@ def doc_ngram_jaccard(spark, sf_dir):
     all-pairs SQL, so the hash match is the completeness proof."""
     _ship_package(spark)
     from console_log_parser_spark.operators import dedup
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return dedup.ngram_jaccard_pairs_prefix(docs)
 
 
@@ -845,7 +845,7 @@ def doc_dedup_clusters(spark, sf_dir):
     propagation; the DuckDB oracle recomputes it with a recursive CTE."""
     _ship_package(spark)
     from console_log_parser_spark.operators import dedup
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     pairs = dedup.minhash_dedup_pairs(docs)
     return dedup.duplicate_clusters(pairs).orderBy("doc_id")
 
@@ -869,7 +869,7 @@ def doc_minhash_dedup(spark, sf_dir):
     hashing lets DuckDB reproduce it exactly."""
     _ship_package(spark)
     from console_log_parser_spark.operators import dedup
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return dedup.minhash_dedup_pairs(docs)
 
 
@@ -877,7 +877,7 @@ def doc_minhash_signatures(spark, sf_dir):
     """Raw MinHash signatures (first 4 components exposed as columns)."""
     _ship_package(spark)
     from console_log_parser_spark.operators import dedup
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     sigs = dedup.minhash_signatures(docs)
     return sigs.select(
         "doc_id",
@@ -898,7 +898,7 @@ def doc_simhash_pairs(spark, sf_dir):
     production dedup setting."""
     _ship_package(spark)
     from console_log_parser_spark.operators import dedup
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return dedup.simhash_pairs(docs, max_hamming=16)
 
 
