@@ -2305,98 +2305,67 @@ _CLUSTER_PROFILE_FINAL = """
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate (see module docstring, "recording-window
     # rotation policy"): the driver records the first 50 entries only.
-    # Round 5 rotates the r3-era stable tail BACK into the recorded
-    # window (VERDICT r4 item 4: no query's driver-green row may age
-    # past 2 rounds): the 44 queries absent from CORRECTNESS_r04.json
-    # (q1-q6, the cast_* family, events_asof_interleave, html_render_
-    # stats, the ann_*/media_* set, ...) now fill positions 8-49. The
-    # first 7 slots are the queries whose CODE changed this round and
-    # need a fresh independent row: ann_ivf_top10 (sqrt-bounded IVF
-    # codebook), doc_minhash_dedup (persisted band frame), the three
-    # doc_bpe_* twins + doc_vocab_growth (boundary-wrapped symbols /
-    # empties-filtered offsets — r5 ADVICE fixes), doc_shard_manifest
-    # (docstring reconciliation). Slot 50 is doc_curation_pipeline
-    # (widest operator composition). The rotated-out tail is exactly
-    # the set recorded driver-green in CORRECTNESS_r04.json last
-    # round, unchanged this round, and re-verified in
-    # CORRECTNESS_local_r05.json.
+    # Round 6 window: the 16 never-driver-recorded round-5 operators
+    # first (they have only local-gate evidence), then the 26 queries
+    # whose physical PLAN changed in this optimization round (results
+    # oracle-identical — all 110 re-verified locally this round), then
+    # 8 of the r4-recorded set under the aging bound. Group comments
+    # inline below.
     return {
-        "ann_ivf_top10": ann_ivf_top10,
-        "doc_minhash_dedup": doc_minhash_dedup,
-        "doc_bpe_pairs": doc_bpe_pairs,
-        "doc_bpe_learn": doc_bpe_learn,
-        "doc_bpe_encode": doc_bpe_encode,
-        "doc_vocab_growth": doc_vocab_growth,
-        "doc_shard_manifest": doc_shard_manifest,
-        "html_render_stats": html_render_stats,
-        "doc_sample_mix": doc_sample_mix,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier": q5_local_supplier,
-        "q_top_customers_window": q_top_customers_window,
-        "events_severity_hist": events_severity_hist,
-        "events_props_extract": events_props_extract,
-        "events_sessionize": events_sessionize,
-        "events_retime_quantize": events_retime_quantize,
-        "events_asof_interleave": events_asof_interleave,
-        "events_range_join": events_range_join,
-        "events_distinct_sets": events_distinct_sets,
-        "cast_poster_base64": cast_poster_base64,
-        "stream_sessionize": stream_sessionize,
-        "cast_frame_stats": cast_frame_stats,
-        "cast_retime_hist": cast_retime_hist,
-        "cast_hops": cast_hops,
-        "cast_vim_sessions": cast_vim_sessions,
-        "events_hop_renumber": events_hop_renumber,
-        "doc_dedup_exact": doc_dedup_exact,
-        "doc_lang_id": doc_lang_id,
-        "doc_quality_filter": doc_quality_filter,
-        "doc_ngram_jaccard": doc_ngram_jaccard,
-        "doc_dedup_keep_first": doc_dedup_keep_first,
-        "doc_dedup_clusters": doc_dedup_clusters,
-        "doc_minhash_signatures": doc_minhash_signatures,
-        "doc_simhash_pairs": doc_simhash_pairs,
-        "ann_bruteforce_top10": ann_bruteforce_top10,
-        "ann_lsh_top10": ann_lsh_top10,
-        "ann_matmul_top10": ann_matmul_top10,
-        "embedding_neardup": embedding_neardup,
-        "media_metadata_stats": media_metadata_stats,
-        "media_frame_sample": media_frame_sample,
-        "media_thumbnails": media_thumbnails,
-        "doc_repetition": doc_repetition,
-        "doc_quality": doc_quality,
-        "doc_token_count": doc_token_count,
-        "q6_revenue": q6_revenue,
-        "q4_order_priority": q4_order_priority,
-        "doc_fingerprint": doc_fingerprint,
-        "doc_word_topk": doc_word_topk,
-        "doc_curation_pipeline": doc_curation_pipeline,
-        # --- NEW this round (positions 51-66): never driver-recorded
-        # yet; the r3-era aging bound (44 stale + 6 changed = the full
-        # top 50) takes precedence this round, so these wait one round
-        # for their first driver row — verified in
-        # CORRECTNESS_local_r05.json and first-in-line for r6 ---
+        # --- 1-16: the 16 round-5 operators that have NEVER had a
+        # driver-recorded CORRECTNESS row (VERDICT r5 item 1): first
+        # in the window for their first independent verification ---
         "doc_bloom_decontaminate": doc_bloom_decontaminate,
         "doc_dsir_scores": doc_dsir_scores,
         "doc_semdedup": doc_semdedup,
         "embedding_pq_codes": embedding_pq_codes,
         "ann_pq_top10": ann_pq_top10,
+        "ann_ivfpq_top10": ann_ivfpq_top10,
+        "embedding_knn_join": embedding_knn_join,
         "doc_tokenizer_fertility": doc_tokenizer_fertility,
         "stream_heavy_hitters": stream_heavy_hitters,
-        "ann_ivfpq_top10": ann_ivfpq_top10,
         "events_sliding_rates": events_sliding_rates,
-        "embedding_knn_join": embedding_knn_join,
+        "events_dau_wau": events_dau_wau,
+        "events_user_activity": events_user_activity,
         "doc_token_coverage": doc_token_coverage,
         "doc_dedup_survivorship": doc_dedup_survivorship,
-        "events_user_activity": events_user_activity,
         "doc_char_diversity": doc_char_diversity,
-        "events_dau_wau": events_dau_wau,
         "doc_ngram_novelty": doc_ngram_novelty,
-        # --- rotated-out tail (now positions 67-110): every entry
-        # here has a driver-green row in CORRECTNESS_r04.json
-        # (last round), is code-unchanged this round, and is
-        # re-verified locally each round (rotation policy in
-        # the module docstring) ---
+        # --- 17-42: queries whose PLAN changed in this optimization
+        # round (parse scanner + Arrow-boundary schema, routing
+        # exchange moved to the writer, _spread/ids-spread
+        # redistribution) — results oracle-identical, but changed
+        # code most needs a fresh independent row. The pipeline_*
+        # family's last driver rows are r4, so the aging bound
+        # lands them here anyway ---
+        "pipeline_severity_hist": pipeline_severity_hist,
+        "pipeline_sink_summary": pipeline_sink_summary,
+        "pipeline_top_commands": pipeline_top_commands,
+        "pipeline_seq_histogram": pipeline_seq_histogram,
+        "pipeline_typed_events": pipeline_typed_events,
+        "pipeline_app_mode": pipeline_app_mode,
+        "pipeline_chapters": pipeline_chapters,
+        "pipeline_os_commands": pipeline_os_commands,
+        "pipeline_source_rollup": pipeline_source_rollup,
+        "html_render_stats": html_render_stats,
+        "cast_frame_stats": cast_frame_stats,
+        "cast_retime_hist": cast_retime_hist,
+        "cast_hops": cast_hops,
+        "cast_vim_sessions": cast_vim_sessions,
+        "doc_token_count": doc_token_count,
+        "doc_quality": doc_quality,
+        "doc_repetition": doc_repetition,
+        "doc_lang_id": doc_lang_id,
+        "doc_quality_filter": doc_quality_filter,
+        "doc_fingerprint": doc_fingerprint,
+        "ann_bruteforce_top10": ann_bruteforce_top10,
+        "doc_minhash_dedup": doc_minhash_dedup,
+        "doc_minhash_signatures": doc_minhash_signatures,
+        "doc_simhash_pairs": doc_simhash_pairs,
+        "doc_ngram_jaccard": doc_ngram_jaccard,
+        "doc_dedup_clusters": doc_dedup_clusters,
+        # --- 43-50: oldest remaining driver rows (CORRECTNESS_r04)
+        # under the 2-round aging bound ---
         "doc_winnow_sketch": doc_winnow_sketch,
         "embedding_kmeans": embedding_kmeans,
         "doc_winnow_pairs": doc_winnow_pairs,
@@ -2405,6 +2374,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_transitions": stream_transitions,
         "doc_word_freq_spectrum": doc_word_freq_spectrum,
         "events_user_trigrams": events_user_trigrams,
+        # --- rotated-out tail: 51-77 carry r4 rows and are next in
+        # line for r7; 78-110 carry fresh r5 rows and are
+        # code-unchanged this round. The FULL dict is re-verified
+        # locally each round (110/110 in this round's gate) ---
         "doc_cluster_profile": doc_cluster_profile,
         "q14_promo_effect": q14_promo_effect,
         "doc_incremental_dedup": doc_incremental_dedup,
@@ -2431,16 +2404,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": doc_decontaminate,
         "stream_dedup_exact": stream_dedup_exact,
         "doc_pack_sequences": doc_pack_sequences,
-        "pipeline_top_commands": pipeline_top_commands,
-        "pipeline_app_mode": pipeline_app_mode,
-        "pipeline_typed_events": pipeline_typed_events,
-        "pipeline_chapters": pipeline_chapters,
-        "pipeline_source_rollup": pipeline_source_rollup,
         "events_type_cube": events_type_cube,
-        "pipeline_os_commands": pipeline_os_commands,
-        "pipeline_severity_hist": pipeline_severity_hist,
-        "pipeline_sink_summary": pipeline_sink_summary,
-        "pipeline_seq_histogram": pipeline_seq_histogram,
+        "ann_ivf_top10": ann_ivf_top10,
+        "doc_bpe_pairs": doc_bpe_pairs,
+        "doc_bpe_learn": doc_bpe_learn,
+        "doc_bpe_encode": doc_bpe_encode,
+        "doc_vocab_growth": doc_vocab_growth,
+        "doc_shard_manifest": doc_shard_manifest,
+        "doc_sample_mix": doc_sample_mix,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier": q5_local_supplier,
+        "q_top_customers_window": q_top_customers_window,
+        "events_severity_hist": events_severity_hist,
+        "events_props_extract": events_props_extract,
+        "events_sessionize": events_sessionize,
+        "events_retime_quantize": events_retime_quantize,
+        "events_asof_interleave": events_asof_interleave,
+        "events_range_join": events_range_join,
+        "events_distinct_sets": events_distinct_sets,
+        "cast_poster_base64": cast_poster_base64,
+        "stream_sessionize": stream_sessionize,
+        "events_hop_renumber": events_hop_renumber,
+        "doc_dedup_exact": doc_dedup_exact,
+        "doc_dedup_keep_first": doc_dedup_keep_first,
+        "ann_lsh_top10": ann_lsh_top10,
+        "ann_matmul_top10": ann_matmul_top10,
+        "embedding_neardup": embedding_neardup,
+        "media_metadata_stats": media_metadata_stats,
+        "media_frame_sample": media_frame_sample,
+        "media_thumbnails": media_thumbnails,
+        "q6_revenue": q6_revenue,
+        "q4_order_priority": q4_order_priority,
+        "doc_word_topk": doc_word_topk,
+        "doc_curation_pipeline": doc_curation_pipeline,
     }
 
 
