@@ -217,10 +217,21 @@ def q4_order_priority(spark, sf_dir):
 def q_top_customers_window(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    totals = (orders.join(cust, orders.o_custkey == cust.c_custkey)
-              .groupBy("c_mktsegment", "c_custkey")
-              .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
-                   F.count("*").alias("n_orders")))
+    # Aggregate BELOW the join (guide §2.3 "aggregate before you
+    # shuffle"): the group key c_custkey IS the join key and
+    # c_mktsegment is a per-customer attribute, so summing orders per
+    # custkey first is exactly equivalent (c_custkey is the customer
+    # table's key) while the join probes ~10x fewer rows and the
+    # pre-aggregated side broadcast-joins the small dimension.
+    # A/B at sf1.0: 1.76 s -> 0.90 s, identical rows.
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.round(F.sum("o_totalprice"), 2)
+                     .alias("total_spent"),
+                     F.count("*").alias("n_orders")))
+    totals = (per_cust.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        per_cust.o_custkey == F.col("c_custkey"))
+        .select("c_mktsegment", "c_custkey", "total_spent", "n_orders"))
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("total_spent"), F.asc("c_custkey"))
     return (totals.withColumn("rnk", F.row_number().over(w))

@@ -201,3 +201,41 @@ def test_auto_keeps_range_path_when_estimate_exceeds_bound(spark):
         assert got == want
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_narrow_path_coalesces_bare_scans_but_not_rich_plans(
+        spark, tmp_path):
+    # bare scan/project lineage: the n=1 fast path must use the
+    # exchange-free narrow coalesce (r6 optimization) ...
+    p = str(tmp_path / "scan.parquet")
+    (spark.range(300)
+     .select((F.col("id") % 7).alias("ts"), F.col("id").alias("k"),
+             (F.col("id") % 2).alias("v"))
+     .write.parquet(p))
+    scan = spark.read.parquet(p)
+    out = range_partitioned_lag(scan, ["ts", "k"], "v", "prev",
+                                num_partitions=1)
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    # the narrow merge replaces the exchange outright
+    assert "coalesce" in plan
+    assert "exchange" not in plan
+    got = _rows(out, ["ts", "k"], "prev")
+    want = _rows(_naive_lag(scan, ["ts", "k"], "v", "prev"),
+                 ["ts", "k"], "prev")
+    assert got == want
+    # ... while a lineage with compute above the scan (aggregate) keeps
+    # repartition(1): coalesce would pull the whole reduce side into
+    # one task
+    rich = (scan.groupBy("ts")
+            .agg(F.max("k").alias("k"), F.min("v").alias("v")))
+    out2 = range_partitioned_lag(rich, ["ts", "k"], "v", "prev",
+                                 num_partitions=1)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString().lower()
+    # the reduce side stays behind a single-partition EXCHANGE (AQE
+    # plan text may mention coalesced shuffle reads, so assert on the
+    # exchange marker, not the word "coalesce")
+    assert "exchange singlepartition" in plan2
+    got2 = _rows(out2, ["ts", "k"], "prev")
+    want2 = _rows(_naive_lag(rich, ["ts", "k"], "v", "prev"),
+                  ["ts", "k"], "prev")
+    assert got2 == want2
