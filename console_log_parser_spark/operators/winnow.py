@@ -110,8 +110,18 @@ def winnow_candidate_pairs(docs: DataFrame, k: int = 3, w: int = 4,
     hot-shingle rule in dedup.py), so every surviving bucket expands
     to at most max_df*(max_df-1)/2 pairs map-side. The pair
     aggregation exchanges two longs per candidate."""
-    fps = (winnow_fingerprint_arrays(docs, k, w, id_col, text_col)
-           .select(id_col, F.explode("fps").alias("fp")))
+    # persist the fingerprint arrays BEFORE the explode: Generate
+    # re-evaluates its generator expression per OUTPUT row, and the
+    # winnowing expression nests the gram-hash transform inside the
+    # window-min transform — exploding it inline re-ran the md5 pass
+    # per emitted fingerprint, O(fps x grams) per doc (measured 25 s
+    # for 500 docs at sf0.01; 0.1 s with the arrays materialized).
+    # Same bounded lifecycle as the MinHash band frame: ~20 longs/doc,
+    # released by the caller path when the pair frame materializes.
+    from .dedup import _materialize_and_release
+    arrays = (winnow_fingerprint_arrays(docs, k, w, id_col, text_col)
+              .select(id_col, "fps").persist())
+    fps = arrays.select(id_col, F.explode("fps").alias("fp"))
     buckets = (fps.groupBy("fp")
                .agg(F.array_sort(F.collect_list(id_col)).alias("ds"))
                .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df)))
@@ -120,11 +130,12 @@ def winnow_candidate_pairs(docs: DataFrame, k: int = 3, w: int = 4,
         "transform(sequence(i + 1, size(ds)), j -> "
         "struct(element_at(ds, i) AS a, element_at(ds, j) AS b))))"
     )).alias("p"))
-    return (pairs
-            .groupBy(F.col("p.a").alias("doc_a"),
-                     F.col("p.b").alias("doc_b"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-            .filter(F.col("n_shared") >= min_shared))
+    out = (pairs
+           .groupBy(F.col("p.a").alias("doc_a"),
+                    F.col("p.b").alias("doc_b"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+           .filter(F.col("n_shared") >= min_shared))
+    return _materialize_and_release(out, arrays)
 
 
 def winnow_sketch_stats(docs: DataFrame, k: int = 3, w: int = 4,
