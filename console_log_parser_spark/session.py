@@ -82,6 +82,18 @@ def get_spark(app: str = "console_log_parser_spark",
     _tune_allocator_env()
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    # local[N] pins task maxFailures to 1 (spark.task.maxFailures is
+    # IGNORED in local mode; only the local[N,F] master form sets it),
+    # so a single python-worker death — e.g. an OOM during a
+    # memory-bandwidth-degraded host window, which killed one of the
+    # round-5 driver bench repeats mid-run — aborts the whole job
+    # instead of retrying one task. Allow ONE retry, the local analog
+    # of a cluster's default maxFailures=4. Core count is untouched;
+    # a retry can only ADD wall time, never flatter a measurement.
+    import re as _re
+    m = _re.fullmatch(r"local\[(\d+|\*)\]", master)
+    if m:
+        master = f"local[{m.group(1)},2]"
     sp = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE", DEFAULT_SHUFFLE_PARTITIONS))
     b = (
