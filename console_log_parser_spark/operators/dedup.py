@@ -273,19 +273,18 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = (prev.select("node", "label").union(nbr)
                   .groupBy("node").agg(F.min("label").alias("label"))
                   .persist())
-        # Materialize EVERY partition of the new labels cache before
-        # dropping the previous round's (a `.limit(1).count()` alone
-        # short-circuits and would leave most partitions uncached,
-        # forcing full-lineage recompute each later round). count()
-        # is a cheap full-scan action on the (node,label) frame.
-        labels.count()
-        # exact fixed-point test: no node's label changed this round
-        # (labels only decrease, so inequality == change); reads the
-        # now-complete cache, so limit(1) short-circuit is free
+        # ONE action per round does both jobs: the exact change count
+        # scans EVERY row of the new labels frame (count(), not
+        # limit(1).count() — no short-circuit), so it materializes
+        # every partition of the new cache AND tests the fixed point
+        # (labels only decrease, so inequality == change). The former
+        # two-action form (full count, then a limit-join probe) paid
+        # the per-job fixed cost twice per round — ~half the
+        # correctness-gate wall of this operator at small scale.
         n_changed = (labels.alias("n")
                      .join(prev.alias("o"), "node")
                      .filter(F.col("n.label") != F.col("o.label"))
-                     .limit(1).count())
+                     .count())
         prev.unpersist()
         if n_changed == 0:
             break
